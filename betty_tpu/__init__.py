@@ -1,0 +1,34 @@
+"""betty_tpu — a TPU-native framework for generalized meta-learning and
+multilevel optimization.
+
+A from-scratch JAX/XLA re-architecture with the full capability surface of
+leopard-ai/betty (Problem/Engine multilevel programs, darts/sama/neumann/cg
+hypergradient solvers, ITD via differentiable unrolls, DP/ZeRO/FSDP scaling)
+designed TPU-first: pure pytree problem states, jit-compiled meta steps,
+lax.scan unrolls, and sharding-based distribution over a jax device mesh.
+"""
+
+__version__ = "0.1.0"
+
+from betty_tpu.configs import Config, EngineConfig
+from betty_tpu.engine import Engine
+from betty_tpu.problems import (
+    ImplicitProblem,
+    IterativeProblem,
+    PenaltyProblem,
+    Problem,
+)
+from betty_tpu import module, optim, utils
+
+__all__ = [
+    "Config",
+    "EngineConfig",
+    "Engine",
+    "Problem",
+    "ImplicitProblem",
+    "IterativeProblem",
+    "PenaltyProblem",
+    "module",
+    "optim",
+    "utils",
+]

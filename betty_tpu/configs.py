@@ -1,0 +1,111 @@
+"""Configuration dataclasses for problems and the engine.
+
+Capability parity with the reference library's ``betty/configs/problem_dataclass.py``
+and ``betty/configs/engine_dataclass.py`` (leopard-ai/betty), re-designed for a
+TPU/JAX runtime:
+
+* ``precision`` accepts ``"fp32"`` / ``"bf16"`` (TPU-native mixed precision).
+  ``"fp16"`` is accepted and treated as ``"bf16"`` — TPUs have native bfloat16
+  matrix units and need no dynamic loss scaling, so the reference's GradScaler
+  knobs (``initial_dynamic_scale``, ``scale_factor``) are kept for API
+  compatibility but are inert.
+* ``EngineConfig.strategy`` selects a ``jax.sharding`` layout instead of a
+  torch.distributed wrapper: ``"default"`` (single device), ``"dp"``
+  (data-parallel batch sharding; the reference's ``"distributed"`` is accepted
+  as an alias), ``"zero"`` (DP + optimizer-state sharding), ``"fsdp"``
+  (DP + parameter/optimizer sharding).
+* ``backend`` is unused on TPU (collectives ride ICI via XLA); kept for parity.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class Config:
+    """Per-problem training configuration.
+
+    Mirrors reference ``betty/configs/problem_dataclass.py:4-48`` field-for-field
+    (minus torch-specific loss-scaling semantics).
+    """
+
+    type: str = "darts"
+    unroll_steps: int = 1
+    first_order: bool = True
+    retain_graph: bool = False  # parity no-op: JAX has no retained tape
+    allow_unused: bool = True  # parity no-op: JAX yields zeros for unused leaves
+
+    # gradient accumulation
+    gradient_accumulation: int = 1
+
+    # gradient clipping
+    gradient_clipping: float = 0.0
+
+    # precision
+    precision: str = "fp32"
+    initial_dynamic_scale: float = 4096.0  # inert on TPU (no fp16 GradScaler)
+    scale_factor: float = 2.0  # inert on TPU
+
+    # warm-up
+    warmup_steps: int = 0
+
+    # logging
+    log_step: int = -1
+    log_local_step: bool = False
+
+    # darts
+    darts_alpha: float = 0.01
+    darts_multitask: bool = False
+
+    # sama
+    sama_adam_alpha: float = 1.0
+    sama_multitask: bool = False
+
+    # neumann
+    neumann_iterations: int = 1
+    neumann_alpha: float = 1.0
+
+    # cg
+    cg_iterations: int = 1
+    cg_alpha: float = 1.0
+
+
+@dataclass
+class EngineConfig:
+    """Global engine configuration.
+
+    Mirrors reference ``betty/configs/engine_dataclass.py:4-27`` plus TPU-native
+    extensions (mesh shape, compiled-block mode, profiling).
+    """
+
+    train_iters: int = 50000
+    valid_step: int = 500
+
+    # logger
+    logger_type: str = "none"
+
+    # roll back (a.k.a. warm start)
+    roll_back: bool = False
+
+    # distributed training
+    backend: str = "xla"  # parity field; collectives are XLA-inserted on TPU
+    strategy: str = "default"  # default | dp | distributed (=dp) | zero | fsdp
+
+    # early stopping
+    early_stopping: bool = False
+    early_stopping_mode: str = "min"
+    early_stopping_tolerance: int = 5
+    early_stopping_metric: str = "loss"
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Mesh axes for jax.sharding.Mesh, e.g. (("dp", 8),). None = all devices on "dp".
+    mesh_shape: Optional[Tuple[Tuple[str, int], ...]] = None
+    # Fully compile each unroll block into one XLA program (lax.scan inner loop).
+    compile_blocks: bool = False
+    # Donate state buffers to jitted updates (in-place on device; saves HBM).
+    donate_state: bool = True
+    # jax.profiler trace directory; None disables.
+    profile_dir: Optional[str] = None
+    # checkpointing
+    checkpoint_dir: Optional[str] = None
+    checkpoint_step: int = 0  # 0 disables periodic engine checkpoints

@@ -1,0 +1,281 @@
+"""Engine — dependency-graph compiler and training-loop driver.
+
+Counterpart of reference ``betty/engine.py``. The graph mechanics
+(``find_paths`` DFS, leaf detection, name-attribute injection, the
+step recursion driven from leaves) keep the reference's exact semantics
+(``engine.py:217-328``); the systems layer is TPU-native:
+
+* ``configure_systems`` builds a ``jax.sharding.Mesh`` instead of a NCCL
+  process group; strategies map to sharding layouts (see
+  ``betty_tpu/parallel/mesh.py``) and one process drives all local devices.
+* States live in ``engine.states`` (name -> pytree); problems' jitted update
+  functions consume and produce this dict, so the whole multilevel program
+  is a chain of compiled XLA programs (and can be fused into one; see
+  ``compile_blocks``).
+"""
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+from betty_tpu.configs import EngineConfig
+from betty_tpu.logging import logger
+from betty_tpu.misc.early_stopping import EarlyStopping
+from betty_tpu.parallel import batch_sharding, make_mesh, replicated, shard_state
+from betty_tpu.utils import log_from_loss_dict
+
+
+class Engine:
+    def __init__(self, problems, config=None, dependencies=None, env=None):
+        self.config = config if config is not None else EngineConfig()
+
+        self.train_iters = 0
+        self.valid_step = 0
+        self.global_step = 0
+
+        self.logger_type = None
+        self.logger = None
+
+        self.problems = problems
+        self.leaves: List = []
+        self.dependencies = dependencies
+        self.env = env
+
+        # distributed
+        self._strategy = None
+        self.mesh = None
+        self._batch_sharding = None
+
+        self.early_stopping: Optional[EarlyStopping] = None
+        self._roll_back = False
+
+        # state store: problem name -> state pytree
+        self.states: Dict[str, dict] = {}
+
+        self.initialize()
+
+    # ------------------------------------------------------------------
+    def parse_config(self):
+        self.train_iters = self.config.train_iters
+        self.valid_step = self.config.valid_step
+        self.logger_type = self.config.logger_type
+        self._roll_back = self.config.roll_back
+        self._strategy = self.config.strategy
+        if self.config.early_stopping:
+            self.early_stopping = EarlyStopping(
+                metric=self.config.early_stopping_metric,
+                mode=self.config.early_stopping_mode,
+                tolerance=self.config.early_stopping_tolerance,
+            )
+
+    def configure_systems(self):
+        """Build the device mesh for the configured strategy
+        (TPU-native replacement of reference ``engine.py:166-199``)."""
+        strategy = self._strategy
+        if strategy in ("distributed", "dp", "zero", "fsdp") or (
+            self.config.mesh_shape is not None
+        ):
+            self.mesh = make_mesh(self.config.mesh_shape)
+            self._batch_sharding = batch_sharding(self.mesh)
+        else:
+            self.mesh = None
+            self._batch_sharding = None
+
+    # ------------------------------------------------------------------
+    def initialize(self):
+        self.parse_config()
+        self.configure_systems()
+
+        self.logger = logger(logger_type=self.logger_type)
+        if self.is_rank_zero():
+            self.logger.info("Initializing Multilevel Optimization...")
+        start = time.time()
+
+        self.parse_dependency()
+
+        for problem in self.problems:
+            self.set_problem_attr(problem)
+
+        if self.env is not None:
+            self.env.engine = self
+            self.env.configure_device(self._batch_sharding)
+            self.env.initialize()
+
+        for i, problem in enumerate(self.problems):
+            problem.add_logger(self.logger)
+            problem.device_sharding = self._batch_sharding
+            if len(problem.parents) > 0:
+                problem._roll_back = self._roll_back
+            if self.env is not None:
+                problem.add_env(self.env)
+            problem.initialize(self)
+            state = problem.init_state(jax.random.PRNGKey(i))
+            if self.mesh is not None:
+                strategy = self._strategy
+                if strategy in ("default",):
+                    strategy = "dp"
+                state = shard_state(state, self.mesh, strategy)
+            self.states[problem.name] = state
+
+        end = time.time()
+        if self.is_rank_zero():
+            self.logger.info(
+                f"Time spent on initialization: {end - start:.3f} (s)"
+            )
+
+    # ------------------------------------------------------------------
+    # graph parsing — semantics identical to reference engine.py:217-290
+    # ------------------------------------------------------------------
+    def check_leaf(self, problem) -> bool:
+        for _, value_list in self.dependencies["l2u"].items():
+            if problem in set(value_list):
+                return False
+        return True
+
+    def find_paths(self, src, dst):
+        results = []
+        path = [src]
+        self.dfs(src, dst, path, results)
+        assert len(results) > 0, f"No path from {src.name} to {dst.name}!"
+        for i, _ in enumerate(results):
+            results[i].reverse()
+            results[i].append(dst)
+        return results
+
+    def dfs(self, src, dst, path, results):
+        if src is dst:
+            assert len(path) > 1
+            results.append(list(path))
+        elif src not in self.dependencies["l2u"]:
+            return
+        else:
+            for adj in self.dependencies["l2u"][src]:
+                path.append(adj)
+                self.dfs(adj, dst, path, results)
+                path.pop()
+
+    def parse_dependency(self):
+        if self.dependencies is None:
+            self.dependencies = {"u2l": {}, "l2u": {}}
+        self.dependencies.setdefault("u2l", {})
+        self.dependencies.setdefault("l2u", {})
+
+        # upper-to-lower: backprop paths
+        for key, value_list in self.dependencies["u2l"].items():
+            for value in value_list:
+                paths = self.find_paths(src=value, dst=key)
+                key.add_paths(paths)
+
+        # lower-to-upper: parent/child wiring
+        for key, value_list in self.dependencies["l2u"].items():
+            for value in value_list:
+                key.add_parent(value)
+                value.add_child(key)
+
+        for problem in self.problems:
+            if self.check_leaf(problem):
+                problem.leaf = True
+                self.leaves.append(problem)
+
+    def set_dependency(self, dependencies):
+        self.dependencies = dependencies
+        self.leaves = []
+        for problem in self.problems:
+            problem.leaf = False
+            problem.clear_dependencies()
+        self.parse_dependency()
+
+    def set_problem_attr(self, problem) -> str:
+        """Name-attribute injection (reference engine.py:303-328): every
+        problem (and the engine / env) can address every other problem as
+        ``self.<name>``."""
+        name = problem.name
+        assert not hasattr(self, name), f"Problem already named {name}!"
+        setattr(self, name, problem)
+        for prob in self.problems:
+            if prob is not problem:
+                assert not hasattr(prob, name)
+                setattr(prob, name, problem)
+        if self.env is not None:
+            setattr(self.env, name, problem)
+        return name
+
+    # ------------------------------------------------------------------
+    # training loop (reference engine.py:86-121)
+    # ------------------------------------------------------------------
+    def train_step(self):
+        for leaf in self.leaves:
+            leaf.step(global_step=self.global_step)
+
+    def run(self):
+        self.train()
+        if self.config.profile_dir:
+            jax.profiler.start_trace(self.config.profile_dir)
+        try:
+            for it in range(1, self.train_iters + 1):
+                self.global_step += 1
+                self.train_step()
+
+                if it % self.valid_step == 0 and self.do_validation():
+                    self.eval()
+                    validation_stats = self.validation() or {}
+                    log_loss = log_from_loss_dict(validation_stats)
+                    self.logger.info(
+                        f"[Validation] [Global Step {self.global_step}] {log_loss}"
+                    )
+                    self.logger.log(
+                        validation_stats, tag="validation", step=self.global_step
+                    )
+                    self.train()
+
+                    if self.early_stopping is not None:
+                        if self.early_stopping(validation_stats):
+                            self.logger.info("Early stopping is executed!")
+                            break
+
+                if (
+                    self.config.checkpoint_step > 0
+                    and self.config.checkpoint_dir is not None
+                    and it % self.config.checkpoint_step == 0
+                ):
+                    self.save_checkpoint(self.config.checkpoint_dir)
+        finally:
+            if self.config.profile_dir:
+                jax.profiler.stop_trace()
+        self.cleanup()
+
+    def train(self):
+        for problem in self.problems:
+            problem.train()
+
+    def eval(self):
+        for problem in self.problems:
+            problem.eval()
+
+    def do_validation(self) -> bool:
+        return self.is_implemented("validation") and self.is_rank_zero()
+
+    def is_rank_zero(self) -> bool:
+        return jax.process_index() == 0
+
+    def cleanup(self):
+        if self.is_rank_zero():
+            self.logger.info("Multilevel optimization finished!")
+
+    def is_implemented(self, fn_name: str) -> bool:
+        return callable(getattr(self, fn_name, None))
+
+    # ------------------------------------------------------------------
+    # engine-level checkpoint / resume (reference has none; examples call
+    # torch.save(problem.state_dict()) by hand — SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        from betty_tpu.checkpoint import save_engine_state
+
+        save_engine_state(self, path)
+
+    def load_checkpoint(self, path: str):
+        from betty_tpu.checkpoint import restore_engine_state
+
+        restore_engine_state(self, path)

@@ -1,0 +1,54 @@
+"""Neumann-series inverse-Hessian-vector-product solver.
+
+Numerics match reference ``betty/hypergradient/neumann.py:8-66``:
+
+    g      = d loss_curr / d w                        (curr's own batch)
+    p = v;  repeat k times: v <- v - alpha * H v;  p <- p + v
+    v2     = alpha * p
+    out    = - (d g / d prev)^T v2                    (mixed second derivative)
+
+HVPs are reverse-over-reverse ``jax.vjp`` of the gradient function — the
+direct counterpart of ``torch.autograd.grad(in_grad, params, grad_outputs=v,
+retain_graph=True)``. Bilevel-only, like the reference (assert at
+``neumann.py:29``).
+"""
+
+import jax
+
+from betty_tpu.utils import neg, tree_add, tree_axpy, tree_scale
+
+
+def neumann(vector, curr, prev, ctx, states, curr_batch, rng):
+    from betty_tpu.problems.problem import ctx_replace
+
+    assert len(curr.paths) == 0, (
+        "neumann method is not supported for higher-order MLO!"
+    )
+    config = curr.config
+    alpha = config.neumann_alpha
+
+    def in_loss(curr_params, prev_params):
+        c = ctx_replace(ctx, curr.name, curr_params)
+        c = ctx_replace(c, prev.name, prev_params)
+        loss, _, _ = curr.eval_loss(c, curr_batch, rng=rng)
+        return loss
+
+    w0 = ctx[curr.name]["params"]
+    prev0 = ctx[prev.name]["params"]
+    g_fn = jax.grad(in_loss, argnums=0)
+
+    # H v via VJP of the gradient function w.r.t. curr's params
+    _, vjp_curr = jax.vjp(lambda cp: g_fn(cp, prev0), w0)
+
+    v = vector
+    p = vector
+    for _ in range(config.neumann_iterations):
+        (hv,) = vjp_curr(v)
+        v = tree_axpy(-alpha, hv, v)
+        p = tree_add(p, v)
+    v2 = tree_scale(p, alpha)
+
+    # cross term: (d g / d prev)^T v2
+    _, vjp_prev = jax.vjp(lambda pp: g_fn(w0, pp), prev0)
+    (cross,) = vjp_prev(v2)
+    return neg(cross)

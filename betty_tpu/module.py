@@ -1,0 +1,128 @@
+"""Functional module abstraction.
+
+The reference attaches a live ``torch.nn.Module`` to each problem
+(``betty/problems/problem.py:29-318``). On TPU, parameters must be explicit
+pytree state so the whole multilevel program can be traced into one XLA
+program. ``FunctionalModule`` is that boundary: a pair of pure functions
+
+    init(rng)                      -> variables  (dict of collections)
+    apply(variables, *args, ...)   -> outputs (and possibly mutated collections)
+
+with the trainable collection under ``variables["params"]`` and any mutable
+non-trainable collections (e.g. flax ``batch_stats``) alongside it.
+
+Adapters are provided for flax linen modules, plain (init, apply) pairs and
+raw parameter pytrees with an apply function.
+"""
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+
+
+class FunctionalModule:
+    """A pure-function module: explicit parameters + apply function.
+
+    ``apply_fn`` signature::
+
+        apply_fn(variables: dict, *args, train: bool, rngs: dict | None,
+                 mutable: Sequence[str]) -> out | (out, mutated_collections)
+
+    When ``mutable`` is empty the bare output is returned.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        init_fn: Optional[Callable] = None,
+        variables: Optional[Dict[str, Any]] = None,
+        mutable_collections: Sequence[str] = (),
+    ):
+        self.apply_fn = apply_fn
+        self.init_fn = init_fn
+        self.variables = variables
+        self.mutable_collections = tuple(mutable_collections)
+
+    def init(self, rng) -> Dict[str, Any]:
+        if self.variables is not None:
+            return self.variables
+        if self.init_fn is None:
+            raise ValueError("FunctionalModule has neither variables nor init_fn")
+        return self.init_fn(rng)
+
+    def apply(self, variables, *args, train: bool = True, rngs=None, mutable=(), **kwargs):
+        return self.apply_fn(
+            variables, *args, train=train, rngs=rngs, mutable=mutable, **kwargs
+        )
+
+
+def from_fn(apply_fn: Callable, params) -> FunctionalModule:
+    """Wrap a plain ``apply_fn(params, *args) -> out`` and a params pytree.
+
+    The simplest module form — e.g. the reference regression-test ``ChildNet``
+    (a bare weight vector, ``test/test_regression.py:13-21``) becomes
+    ``from_fn(lambda p, x: x @ p["w"], {"w": jnp.zeros(20)})``.
+    """
+
+    def wrapped(variables, *args, train=True, rngs=None, mutable=(), **kwargs):
+        out = apply_fn(variables["params"], *args, **kwargs)
+        if mutable:
+            return out, {}
+        return out
+
+    return FunctionalModule(wrapped, variables={"params": params})
+
+
+def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
+              train_kwarg: Optional[str] = None, rng_names: Sequence[str] = ("dropout",),
+              **sample_kwargs) -> FunctionalModule:
+    """Adapt a ``flax.linen.Module``.
+
+    ``train_kwarg`` names the module's training-mode kwarg (e.g. ``"train"``
+    or ``"deterministic"``-negated modules should pass a lambda via
+    ``apply_kwargs`` instead). Mutable collections (``batch_stats`` etc.) are
+    discovered from the initialized variables.
+    """
+    import flax.linen as nn  # local import: flax optional at module scope
+
+    del nn
+    apply_kwargs = dict(apply_kwargs or {})
+
+    if variables is None:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        init_rngs = {"params": rng}
+        for name in rng_names:
+            init_rngs[name] = jax.random.fold_in(rng, hash(name) % (2**31))
+        kw = dict(sample_kwargs)
+        if train_kwarg is not None:
+            kw[train_kwarg] = False
+        variables = module.init(init_rngs, *sample_args, **kw, **apply_kwargs)
+    variables = dict(variables)
+    mutable_collections = tuple(k for k in variables.keys() if k != "params")
+
+    def apply_fn(vs, *args, train=True, rngs=None, mutable=(), **kwargs):
+        kw = dict(kwargs)
+        kw.update(apply_kwargs)
+        if train_kwarg is not None:
+            kw[train_kwarg] = train
+        return module.apply(vs, *args, rngs=rngs, mutable=list(mutable), **kw)
+
+    return FunctionalModule(apply_fn, variables=variables,
+                            mutable_collections=mutable_collections)
+
+
+def ensure_module(obj) -> FunctionalModule:
+    """Coerce user input into a FunctionalModule.
+
+    Accepts: FunctionalModule | (apply_fn, params) tuple | object with
+    ``.apply``/``.init`` (flax-style, must also provide variables separately).
+    """
+    if isinstance(obj, FunctionalModule):
+        return obj
+    if isinstance(obj, tuple) and len(obj) == 2 and callable(obj[0]):
+        return from_fn(obj[0], obj[1])
+    raise TypeError(
+        f"Cannot interpret {type(obj)} as a module; pass a FunctionalModule, "
+        "(apply_fn, params), or use betty_tpu.module.from_flax()."
+    )

@@ -1,0 +1,198 @@
+"""Optimizers.
+
+The reference uses ``torch.optim`` plus hand-written out-of-place
+"differentiable" re-implementations for the ITD path (``betty/optim/*``,
+~270 LoC). In JAX every optax update is already a pure, differentiable
+function of ``(grads, opt_state, params)``, so one wrapper serves both the
+AID (implicit) and ITD (iterative) paths.
+
+``Optimizer`` matches torch semantics exactly (verified against torch.optim
+in tests/test_optim.py):
+
+* sgd: momentum buffer b = mu*b + g, update = -lr*b (nesterov supported)
+* adam: bias-corrected, eps outside sqrt — identical to torch.optim.Adam
+* adamw: decoupled weight decay — identical to torch.optim.AdamW
+
+It also exposes Adam moments (``mu``/``nu``) for the SAMA solver's
+preconditioner (counterpart of the reference's reconstruction from live
+torch optimizer state, ``betty/hypergradient/utils.py:37-63``) and supports a
+per-step learning-rate schedule (counterpart of
+``betty/patch/scheduler.py``)."""
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class Optimizer:
+    """An optax GradientTransformation tagged with metadata betty_tpu needs.
+
+    ``schedule``: optional ``f(step) -> lr`` evaluated at every *optimizer*
+    step (the reference steps its LR scheduler once per inner step;
+    pass the schedule here and it is applied on the same cadence via
+    ``sched_step`` threading in the problem update).
+    """
+
+    def __init__(
+        self,
+        tx: optax.GradientTransformation,
+        kind: str = "custom",
+        lr: float = None,
+        betas: Tuple[float, float] = (0.9, 0.999),
+        eps: float = 1e-8,
+        schedule: Optional[Callable] = None,
+    ):
+        self.tx = tx
+        self.kind = kind
+        self.lr = lr
+        self.betas = betas
+        self.eps = eps
+        self.schedule = schedule
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def update(self, grads, opt_state, params, sched_step=None):
+        """One optimizer update. If a schedule is attached and the tx was
+        built with ``inject_hyperparams`` (the factory functions below do
+        this automatically when needed), the learning rate for this step is
+        ``schedule(sched_step)``."""
+        if self.schedule is not None and sched_step is not None:
+            opt_state = set_injected_lr(opt_state, self.schedule(sched_step))
+        updates, new_state = self.tx.update(grads, opt_state, params)
+        return updates, new_state
+
+    # ---- SAMA support: locate Adam first/second moments in opt_state ----
+    def adam_moments(self, opt_state):
+        found = find_adam_state(opt_state)
+        if found is None:
+            raise ValueError(
+                "SAMA preconditioning requires an Adam-family optimizer "
+                "(no ScaleByAdamState found in opt_state)."
+            )
+        return found.mu, found.nu
+
+
+def find_adam_state(state):
+    """Recursively locate an ``optax.ScaleByAdamState`` in a (possibly nested)
+    opt_state tuple."""
+    if isinstance(state, optax.ScaleByAdamState):
+        return state
+    if hasattr(state, "inner_state"):
+        return find_adam_state(state.inner_state)
+    if isinstance(state, (tuple, list)):
+        for s in state:
+            r = find_adam_state(s)
+            if r is not None:
+                return r
+    return None
+
+
+def set_injected_lr(opt_state, lr):
+    """Set the learning rate inside an ``optax.inject_hyperparams`` state."""
+
+    def _set(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            hp = dict(state.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+            return state._replace(hyperparams=hp)
+        if isinstance(state, tuple) and type(state) is not tuple:  # NamedTuple
+            return state
+        if isinstance(state, tuple):
+            return tuple(_set(s) for s in state)
+        return state
+
+    return _set(opt_state)
+
+
+def _maybe_inject(factory, schedule, **kwargs):
+    if schedule is not None:
+        return optax.inject_hyperparams(factory)(**kwargs)
+    return factory(**kwargs)
+
+
+def sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
+        nesterov: bool = False, schedule: Optional[Callable] = None) -> Optimizer:
+    """torch.optim.SGD-equivalent."""
+
+    def factory(learning_rate, momentum=momentum, weight_decay=weight_decay,
+                nesterov=nesterov):
+        parts = []
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+        parts.append(optax.scale(-1.0))
+        parts.append(optax.scale_by_learning_rate(learning_rate, flip_sign=False))
+        return optax.chain(*parts)
+
+    tx = _maybe_inject(factory, schedule, learning_rate=lr)
+    return Optimizer(tx, kind="sgd", lr=lr, schedule=schedule)
+
+
+def adam(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
+         weight_decay: float = 0.0, schedule: Optional[Callable] = None) -> Optimizer:
+    """torch.optim.Adam-equivalent (L2 weight decay folded into the gradient)."""
+
+    def factory(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                weight_decay=weight_decay):
+        parts = []
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        parts.append(optax.scale(-1.0))
+        parts.append(optax.scale_by_learning_rate(learning_rate, flip_sign=False))
+        return optax.chain(*parts)
+
+    tx = _maybe_inject(factory, schedule, learning_rate=lr)
+    return Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
+
+
+def adamw(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
+          weight_decay: float = 0.01, schedule: Optional[Callable] = None) -> Optimizer:
+    """torch.optim.AdamW-equivalent (decoupled weight decay)."""
+
+    def factory(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                weight_decay=weight_decay):
+        return optax.chain(
+            optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale(-1.0),
+            optax.scale_by_learning_rate(learning_rate, flip_sign=False),
+        )
+
+    tx = _maybe_inject(factory, schedule, learning_rate=lr)
+    return Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
+
+
+def from_optax(tx: optax.GradientTransformation, kind: str = "custom",
+               **meta) -> Optimizer:
+    """Wrap an arbitrary optax transformation."""
+    return Optimizer(tx, kind=kind, **meta)
+
+
+# ---- LR schedules (counterpart of torch.optim.lr_scheduler via
+#      betty/patch/scheduler.py) ----
+
+def step_lr(lr: float, step_size: int, gamma: float = 0.1) -> Callable:
+    def schedule(step):
+        return lr * gamma ** (step // step_size)
+
+    return schedule
+
+
+def cosine_lr(lr: float, total_steps: int, min_lr: float = 0.0) -> Callable:
+    def schedule(step):
+        frac = jnp.minimum(step / max(total_steps, 1), 1.0)
+        return min_lr + 0.5 * (lr - min_lr) * (1 + jnp.cos(jnp.pi * frac))
+
+    return schedule
+
+
+def lambda_lr(lr: float, lr_lambda: Callable) -> Callable:
+    def schedule(step):
+        return lr * lr_lambda(step)
+
+    return schedule

@@ -1,0 +1,121 @@
+"""IterativeProblem — iterative differentiation (ITD / MAML-style).
+
+Counterpart of reference ``betty/problems/iterative_problem.py`` (functorch
+``make_functional_with_buffers`` + Betty's out-of-place differentiable
+optimizers) and ``iterative_problem_higher.py`` (the ``higher`` backend).
+Both reference backends exist to keep inner parameter updates on the
+autodiff tape; in JAX **every optax update is already differentiable**, so
+ITD reduces to a differentiable ``lax.scan`` over (loss, grad, update).
+
+Mechanics: during the eager unroll this problem records the batches it
+consumed and the pre-unroll state; when a parent problem computes its
+gradient, the child's post-unroll parameters are *replayed* as a pure
+function of the trace context (``replay_unroll``) so the parent's
+``jax.grad`` flows through every inner update — the exact gradient the
+reference obtains from the retained torch graph. The replay recomputes the
+unroll forward (classic rematerialization: trading FLOPs for the memory the
+reference spends retaining the full tape — the right trade on TPU).
+
+MAML-style meta-initialization: override ``unroll_init(self)`` to return the
+initial inner parameters *as a function of other problems' traced params*
+(e.g. ``return self.outer.params``) — gradients then flow to the meta-init,
+which is what ``higher.patch.monkeypatch`` achieves in the reference
+(``iterative_problem_higher.py:146-170``).
+
+Note: differentiating through Adam at zero second moment yields NaNs
+(d/dx sqrt(x) at 0); use SGD inner optimizers or an Adam with nonzero
+``eps_root`` for ITD, as is standard for MAML.
+"""
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from betty_tpu.problems.problem import Problem, _CtxBinding, ctx_replace
+
+
+class IterativeProblem(Problem):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._unroll_batches: List[Any] = []
+        self._unroll_start_state: Optional[Dict[str, Any]] = None
+        assert self.gas == 1, (
+            "IterativeProblem does not support gradient accumulation yet"
+        )
+
+    # -- unroll bookkeeping ------------------------------------------------
+    def step_normal(self, global_step=None):
+        if self.check_ready() and self._inner_loop_start:
+            # record the differentiation starting point *after* the user's
+            # on_inner_loop_start hook runs (the hook may reset params)
+            self._pending_unroll_reset = True
+        super().step_normal(global_step=global_step)
+
+    def one_step_descent(self, batch=None):
+        if getattr(self, "_pending_unroll_reset", False):
+            self._unroll_start_state = self.state
+            self._unroll_batches = []
+            self._pending_unroll_reset = False
+        loss_dict = super().one_step_descent(batch=batch)
+        self._unroll_batches.append(self.cur_batch)
+        return loss_dict
+
+    # -- differentiable replay ----------------------------------------------
+    def get_unroll_data(self):
+        """Host-side: package the recorded unroll (start state + stacked
+        batches) to be passed as *arguments* into a parent's jitted update
+        (they must not be baked into the trace as constants)."""
+        assert self._unroll_start_state is not None and self._unroll_batches, (
+            f"IterativeProblem {self.name} has no recorded unroll to replay"
+        )
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *self._unroll_batches
+        )
+        start = self._unroll_start_state
+        return {
+            "start_params": start["params"],
+            "start_opt_state": start["opt_state"],
+            "start_sched_step": start["sched_step"],
+            "batches": stacked,
+        }
+
+    def unroll_init(self, start_params):
+        """Initial inner parameters for the differentiable replay. Default:
+        the cached pre-unroll parameters (constants w.r.t. the meta params).
+        Override to couple to meta-parameters, e.g.
+        ``return self.outer.params`` (ignore the argument)."""
+        return start_params
+
+    def replay_unroll(self, ctx, data, rng=None):
+        """Re-run this problem's last unroll as a pure differentiable function
+        of the trace context; returns post-unroll params. ``data`` comes from
+        :meth:`get_unroll_data` and is threaded through the parent's jitted
+        update as an argument."""
+        with _CtxBinding(ctx, None, rng):
+            init_params = self.unroll_init(data["start_params"])
+
+        stacked = data["batches"]
+        problem = self
+
+        def inner_step(carry, batch):
+            params, opt_state, sched_step = carry
+
+            def loss_fn(p):
+                c = ctx_replace(ctx, problem.name, p)
+                loss, _, _ = problem.eval_loss(c, batch, rng=rng)
+                return loss
+
+            g = jax.grad(loss_fn)(params)
+            updates, opt_state = problem.optimizer.update(
+                g, opt_state, params, sched_step=sched_step
+            )
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, sched_step + 1), None
+
+        (params, _, _), _ = jax.lax.scan(
+            inner_step,
+            (init_params, data["start_opt_state"], data["start_sched_step"]),
+            stacked,
+        )
+        return params

@@ -1,0 +1,765 @@
+"""Problem: one level of a multilevel optimization program.
+
+Capability parity with reference ``betty/problems/problem.py`` (the 942-LoC
+heart of leopard-ai/betty), re-architected for TPU/JAX:
+
+* The reference keeps live ``torch.nn.Module`` / ``torch.optim`` objects and
+  mutates them in place. Here a problem's learnable state is an explicit
+  pytree (``params / extra / opt_state / grad_acc / last_grad / sched_step``)
+  owned by the Engine, and each gradient step is a **pure jitted function**
+  ``update(states, batch, path_batches, rng) -> (states, metrics)``.
+* The user API stays imperative-feeling: subclass, define
+  ``training_step(self, batch)``, call ``self.module(x)`` and other problems
+  by name (``self.outer(...)``) exactly as in the reference
+  (``problem.py:311-332``, ``engine.py:303-328``). Under the hood these calls
+  resolve parameters from a *trace context* so the same user code works both
+  inside ``jax.grad``/``jit`` traces and on the host (validation).
+* The unroll/step recursion (``step_normal`` / ``step_after_roll_back``,
+  reference ``problem.py:371-454``) is preserved verbatim on the host driver;
+  the Engine can additionally compile whole unroll blocks to single XLA
+  programs (see ``betty_tpu/engine.py``).
+* Distributed training needs no module wrapping: gradients of a mean loss
+  over a batch sharded across a ``jax.sharding.Mesh`` are globally correct
+  because XLA inserts the reductions — the reference's DDP-hook
+  ``do_sync`` plumbing (``problem.py:572-581``) has no counterpart here.
+"""
+
+import abc
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from betty_tpu.configs import Config
+from betty_tpu.module import FunctionalModule, ensure_module
+from betty_tpu import utils
+from betty_tpu.utils import (
+    clip_by_global_norm,
+    log_from_loss_dict,
+    tree_add,
+    tree_cast,
+    tree_zeros_like,
+)
+
+# ---------------------------------------------------------------------------
+# Trace context: maps problem name -> {"params": ..., "extra": ...} while a
+# loss function is being traced. ``forward`` resolves parameters here so that
+# cross-problem calls (self.outer(...)) are differentiable inputs.
+# ---------------------------------------------------------------------------
+
+_TRACE_CTX: Optional[Dict[str, Dict[str, Any]]] = None
+_ACTIVE_CAPTURE: Optional[str] = None  # problem whose mutable collections are captured
+_CAPTURED_MUTATIONS: Dict[str, Any] = {}
+_TRACE_RNG: Optional[jax.Array] = None
+
+
+class _CtxBinding:
+    def __init__(self, ctx, active: Optional[str], rng=None):
+        self.ctx = ctx
+        self.active = active
+        self.rng = rng
+
+    def __enter__(self):
+        global _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG
+        self._saved = (_TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG)
+        _TRACE_CTX = self.ctx
+        _ACTIVE_CAPTURE = self.active
+        _TRACE_RNG = self.rng
+        return self
+
+    def __exit__(self, *exc):
+        global _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG
+        _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG = self._saved
+        return False
+
+
+def ctx_replace(ctx, name, params):
+    """Functionally replace one problem's params in a context dict."""
+    new = dict(ctx)
+    entry = dict(new[name])
+    entry["params"] = params
+    new[name] = entry
+    return new
+
+
+# ---------------------------------------------------------------------------
+
+
+class _ModuleProxy:
+    """What ``self.module`` returns inside ``training_step``: calling it runs
+    the problem's apply function with context-resolved parameters."""
+
+    def __init__(self, problem: "Problem"):
+        self._problem = problem
+
+    def __call__(self, *args, **kwargs):
+        return self._problem.forward(*args, **kwargs)
+
+
+class Problem(abc.ABC):
+    """Base class for one optimization level.
+
+    Constructor signature mirrors the reference (``problem.py:29-44``):
+    ``module`` is a :class:`betty_tpu.module.FunctionalModule` (or
+    ``(apply_fn, params)`` pair), ``optimizer`` a
+    :class:`betty_tpu.optim.Optimizer`, ``train_data_loader`` any iterable of
+    batches (or list of iterables for multi-loader problems).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        config: Optional[Config] = None,
+        module=None,
+        optimizer=None,
+        scheduler: Optional[Callable] = None,
+        train_data_loader=None,
+        extra_config=None,
+    ):
+        self._name = name
+        self._config = config if config is not None else Config()
+        self.cfg = extra_config
+
+        # graph links (reference problem.py:56-59)
+        self._parents: List["Problem"] = []
+        self._children: List["Problem"] = []
+        self._paths: List[List["Problem"]] = []
+
+        # data loaders
+        self.train_data_loader = train_data_loader
+        self.train_data_iterator = None
+        self.epoch_counter = None
+        self.cur_batch = None
+
+        # module / optimizer
+        self._user_module = module
+        self.module_fn: Optional[FunctionalModule] = None
+        self.optimizer = optimizer
+        self.scheduler = scheduler
+
+        # engine wiring
+        self._engine = None
+        self.logger = None
+        self.env = None
+        self.leaf = False
+        self.device_sharding = None  # NamedSharding for batches (set by Engine)
+
+        # counters & flags (reference problem.py:88-112)
+        self._count = 0
+        self._global_step = 0
+        self.ready: List[bool] = []
+        self._inner_loop_start = True
+        self._training = True
+        self._roll_back = False
+        self._first_order = False
+        self._needs_last_grad = self._config.type == "sama"
+
+        # precision
+        self.precision = self._config.precision
+        self.dtype = utils.get_dtype(self.precision)
+
+        # config-derived shorthands (reference problem.py:78-87)
+        self.gas = self._config.gradient_accumulation
+        self._unroll_steps = self._config.unroll_steps
+        self.warmup_steps = self._config.warmup_steps
+        self.gradient_clipping = self._config.gradient_clipping
+        self.log_step = self._config.log_step
+
+        # roll-back cache (functional: just a reference to the old pytree)
+        self._state_cache = None
+
+        # traced-execution scratch
+        self._trace_grads = None
+        self._meta_mask = None  # optional bool pytree selecting meta-trainable leaves
+
+        # compiled update cache: (apply_update, has_hyper) -> jitted fn
+        self._update_fns: Dict[Any, Callable] = {}
+
+        # rng
+        self._rng_seed = 0
+
+    # ------------------------------------------------------------------
+    # basic properties
+    # ------------------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def config(self) -> Config:
+        return self._config
+
+    @property
+    def children(self):
+        return self._children
+
+    @property
+    def parents(self):
+        return self._parents
+
+    @property
+    def paths(self):
+        return self._paths
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    # state access ------------------------------------------------------
+    @property
+    def state(self) -> Dict[str, Any]:
+        return self._engine.states[self._name]
+
+    @state.setter
+    def state(self, new_state):
+        self._engine.states[self._name] = new_state
+
+    @property
+    def params(self):
+        """Current trainable parameters. Inside a trace this is the live
+        traced value; on the host it is the concrete device pytree."""
+        if _TRACE_CTX is not None and self._name in _TRACE_CTX:
+            return _TRACE_CTX[self._name]["params"]
+        return self.state["params"]
+
+    def set_params(self, new_params):
+        """Functional parameter mutation; works both inside traces (updates
+        the trace context) and on the host (updates engine state). This is
+        the counterpart of in-place ``p.data`` mutation in reference hooks
+        like ``on_inner_loop_start`` / ``param_callback``."""
+        global _TRACE_CTX
+        if _TRACE_CTX is not None and self._name in _TRACE_CTX:
+            _TRACE_CTX = ctx_replace(_TRACE_CTX, self._name, new_params)
+        else:
+            st = dict(self.state)
+            st["params"] = new_params
+            self.state = st
+
+    @property
+    def grads(self):
+        """Accumulated gradients (only meaningful inside ``grad_callback``)."""
+        if self._trace_grads is not None:
+            return self._trace_grads
+        return self.state["grad_acc"]
+
+    def set_grads_value(self, new_grads):
+        self._trace_grads = new_grads
+
+    @property
+    def rng(self):
+        """Per-step PRNG key available inside ``training_step``."""
+        if _TRACE_RNG is not None:
+            return _TRACE_RNG
+        return jax.random.PRNGKey(self._rng_seed)
+
+    # ------------------------------------------------------------------
+    # initialization (reference problem.py:114-196)
+    # ------------------------------------------------------------------
+    def initialize(self, engine):
+        self._engine = engine
+
+        # children readiness bitmask (reference problem.py:120)
+        self.ready = [False for _ in range(len(self._children))]
+
+        # parents' first_order flags AND-ed (reference problem.py:122-127)
+        first_order = []
+        for problem in self._parents:
+            hgconfig = problem.config
+            first_order.append(hgconfig.first_order)
+        self._first_order = all(first_order) if first_order else False
+
+        # user configure_* hooks (reference problem.py:139-162)
+        if self.is_implemented("configure_train_data_loader"):
+            self.train_data_loader = self.configure_train_data_loader()
+        if self.is_implemented("configure_module"):
+            self._user_module = self.configure_module()
+        if self.is_implemented("configure_optimizer"):
+            self.optimizer = self.configure_optimizer()
+        if self.is_implemented("configure_scheduler"):
+            self.scheduler = self.configure_scheduler()
+
+        assert self._user_module is not None, f"Problem {self._name} has no module"
+        self.module_fn = ensure_module(self._user_module)
+
+        # data iterators. Same wrapping rule as the reference
+        # (problem.py:142-144): a *tuple* is multiple loaders, anything else
+        # (list of batches, generator, DataLoader) is one loader.
+        if self.train_data_loader is not None:
+            if not isinstance(self.train_data_loader, tuple):
+                self.train_data_loader = (self.train_data_loader,)
+            self.train_data_loader = list(self.train_data_loader)
+            self.train_data_iterator = [iter(dl) for dl in self.train_data_loader]
+            self.epoch_counter = [0 for _ in self.train_data_loader]
+        else:
+            assert type(self).get_batch is not Problem.get_batch or self.env is not None, (
+                f"Problem {self._name} requires a data loader or a get_batch override"
+            )
+
+        # a problem needs last_grad iff it acts as a SAMA edge in any path
+        if self._config.type == "sama":
+            self._needs_last_grad = True
+
+    def init_state(self, rng=None) -> Dict[str, Any]:
+        """Build the initial state pytree for this problem."""
+        variables = dict(self.module_fn.init(rng if rng is not None else jax.random.PRNGKey(0)))
+        params = variables.pop("params")
+        extra = variables  # batch_stats etc.
+        opt_state = self.optimizer.init(params) if self.optimizer is not None else ()
+        state = {
+            "params": params,
+            "extra": extra,
+            "opt_state": opt_state,
+            "grad_acc": tree_zeros_like(params),
+            "sched_step": jnp.zeros((), dtype=jnp.int32),
+        }
+        if self._needs_last_grad:
+            state["last_grad"] = tree_zeros_like(params)
+        return state
+
+    # ------------------------------------------------------------------
+    # forward / loss (reference problem.py:311-332, 496-519)
+    # ------------------------------------------------------------------
+    @property
+    def module(self):
+        return _ModuleProxy(self)
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    def forward(self, *args, **kwargs):
+        """Apply this problem's module with context-resolved parameters."""
+        if _TRACE_CTX is not None and self._name in _TRACE_CTX:
+            entry = _TRACE_CTX[self._name]
+            params, extra = entry["params"], entry["extra"]
+        else:
+            st = self.state
+            params, extra = st["params"], st["extra"]
+
+        variables = {"params": params, **extra}
+        if self.precision in ("fp16", "bf16"):
+            variables = tree_cast(variables, self.dtype)
+            args = tuple(tree_cast(a, self.dtype) for a in args)
+
+        capture = _ACTIVE_CAPTURE == self._name and self.module_fn.mutable_collections
+        rngs = {"dropout": _TRACE_RNG} if (_TRACE_RNG is not None and self._training) else None
+        if capture:
+            out, mutated = self.module_fn.apply(
+                variables, *args, train=self._training, rngs=rngs,
+                mutable=self.module_fn.mutable_collections, **kwargs
+            )
+            _CAPTURED_MUTATIONS[self._name] = mutated
+            return out
+        out = self.module_fn.apply(
+            variables, *args, train=self._training, rngs=rngs, mutable=(), **kwargs
+        )
+        return out
+
+    @abc.abstractmethod
+    def training_step(self, batch):
+        """User-defined loss. Return a scalar loss or a dict with key "loss"
+        (reference ``problem.py:320-325``)."""
+        raise NotImplementedError
+
+    def training_step_exec(self, batch):
+        # bf16 compute happens inside ``forward`` via parameter/input casting;
+        # no autocast context is needed (reference problem.py:327-332).
+        return self.training_step(batch)
+
+    def eval_loss(self, ctx, batch, rng=None, capture: bool = False):
+        """Pure evaluation of this problem's training loss on a context.
+
+        Returns ``(loss_fp32, loss_dict, mutated_collections)``.
+        """
+        global _CAPTURED_MUTATIONS
+        saved_mut = _CAPTURED_MUTATIONS
+        _CAPTURED_MUTATIONS = {}
+        try:
+            with _CtxBinding(ctx, self._name if capture else None, rng):
+                maybe_loss_dict = self.training_step_exec(batch)
+            mutated = _CAPTURED_MUTATIONS.get(self._name, None)
+        finally:
+            _CAPTURED_MUTATIONS = saved_mut
+        is_dict = isinstance(maybe_loss_dict, dict)
+        loss = maybe_loss_dict["loss"] if is_dict else maybe_loss_dict
+        loss = jnp.asarray(loss, dtype=jnp.float32)
+        loss_dict = {"loss": loss}
+        if is_dict:
+            for key, value in maybe_loss_dict.items():
+                if key != "loss":
+                    loss_dict[key] = value
+        return loss, loss_dict, mutated
+
+    # ------------------------------------------------------------------
+    # meta-trainable parameter filtering
+    # (reference meta_trainable_parameters, problem.py:848-854)
+    # ------------------------------------------------------------------
+    def set_meta_mask(self, mask):
+        """Restrict which parameter leaves participate in hypergradients.
+        ``mask`` is a bool pytree matching ``params`` (True = meta-trainable)."""
+        self._meta_mask = mask
+
+    def meta_filter_grad(self, grad):
+        if self._meta_mask is None:
+            return grad
+        return jax.tree_util.tree_map(
+            lambda m, g: jnp.where(m, g, jnp.zeros_like(g)), self._meta_mask, grad
+        )
+
+    # ------------------------------------------------------------------
+    # the pure update function (reference one_step_descent + backward,
+    # problem.py:334-369, 521-597)
+    # ------------------------------------------------------------------
+    def build_update_fn(self, apply_update: bool) -> Callable:
+        """Build the pure per-step update: direct grad + hypergradient paths
+        + (at accumulation boundaries) optimizer step.
+
+        ``states`` maps every problem name to its state pytree; ``batch`` is
+        this problem's batch; ``path_batches`` maps each intermediate problem
+        on this problem's paths to its current batch (the reference's
+        ``curr.cur_batch`` used inside solvers, e.g. ``darts.py:39``).
+        """
+        from betty_tpu.hypergradient import compute_path_grads
+
+        problem = self
+
+        # ITD children: gradient flows through their unrolled updates via a
+        # differentiable replay (see betty_tpu/problems/iterative.py). The
+        # reference's counterpart is create_graph=True on the child's inner
+        # updates when a parent sets first_order=False (problem.py:344-351).
+        itd_children = [
+            c
+            for c in self._children
+            if hasattr(c, "replay_unroll") and not c._first_order
+        ]
+
+        def update(states, batch, path_batches, itd_data, rng):
+            ctx = {
+                name: {"params": s["params"], "extra": s["extra"]}
+                for name, s in states.items()
+            }
+            gas = float(problem.gas)
+
+            def direct_loss(own_params):
+                c = ctx_replace(ctx, problem._name, own_params)
+                for ch in itd_children:
+                    c = ctx_replace(
+                        c, ch.name, ch.replay_unroll(c, itd_data[ch.name], rng)
+                    )
+                loss, loss_dict, mutated = problem.eval_loss(
+                    c, batch, rng=rng, capture=True
+                )
+                return loss / gas, (loss_dict, mutated)
+
+            (_, (loss_dict, mutated)), dgrad = jax.value_and_grad(
+                direct_loss, has_aux=True
+            )(ctx[problem._name]["params"])
+
+            grads = dgrad
+            # indirect grad: best-response Jacobian chain, gated on this
+            # problem's own first_order flag (reference problem.py:573)
+            if problem._config.first_order and len(problem._paths) > 0:
+                hyper = compute_path_grads(
+                    problem, ctx, states, batch, path_batches, rng, gas
+                )
+                grads = tree_add(grads, hyper)
+
+            state = dict(states[problem._name])
+            state["grad_acc"] = tree_add(state["grad_acc"], grads)
+            if mutated:
+                if problem.precision in ("fp16", "bf16"):
+                    mutated = tree_cast(mutated, jnp.float32)
+                state["extra"] = {**state["extra"], **mutated}
+
+            if apply_update:
+                state = problem._apply_optimizer(state, ctx, rng)
+
+            # per-inner-step scheduler counter (reference problem.py:391-392)
+            state["sched_step"] = state["sched_step"] + 1
+
+            new_states = dict(states)
+            new_states[problem._name] = state
+            return new_states, loss_dict
+
+        return update
+
+    def _apply_optimizer(self, state, ctx, rng):
+        """Optimizer step at a gradient-accumulation boundary
+        (reference ``implicit_problem.py:40-65``)."""
+        grads = state["grad_acc"]
+
+        # grad_callback hook (reference problem.py:352-353), traced
+        if self.is_implemented("grad_callback"):
+            self._trace_grads = grads
+            with _CtxBinding(ctx_replace(
+                {k: dict(v) for k, v in ctx.items()}, self._name, state["params"]
+            ), None, rng):
+                self.grad_callback()
+            grads = self._trace_grads
+            self._trace_grads = None
+
+        if self.gradient_clipping > 0.0:
+            grads = clip_by_global_norm(grads, self.gradient_clipping)
+
+        if self.is_implemented("custom_optimizer_step"):
+            new_params = self.custom_optimizer_step(state["params"], grads, state)
+            new_opt_state = state["opt_state"]
+        else:
+            updates, new_opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"],
+                sched_step=state["sched_step"],
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state["params"], updates
+            )
+
+        state = dict(state)
+        state["params"] = new_params
+        state["opt_state"] = new_opt_state
+        if self._needs_last_grad:
+            # SAMA caches the gradient used for this step
+            # (reference implicit_problem.py:51-55)
+            state["last_grad"] = grads
+
+        # param_callback hook (reference problem.py:359-361), traced
+        if self.is_implemented("param_callback"):
+            global _TRACE_CTX
+            tmp_ctx = ctx_replace(
+                {k: dict(v) for k, v in ctx.items()}, self._name, new_params
+            )
+            with _CtxBinding(tmp_ctx, None, rng):
+                self.param_callback()
+                state["params"] = _TRACE_CTX[self._name]["params"]
+
+        state["grad_acc"] = tree_zeros_like(state["grad_acc"])
+        return state
+
+    def _get_update_fn(self, apply_update: bool) -> Callable:
+        key = bool(apply_update)
+        if key not in self._update_fns:
+            fn = self.build_update_fn(apply_update=key)
+            self._update_fns[key] = jax.jit(fn)
+        return self._update_fns[key]
+
+    # ------------------------------------------------------------------
+    # one step descent (host driver; reference problem.py:334-369)
+    # ------------------------------------------------------------------
+    def one_step_descent(self, batch=None):
+        if batch is None:
+            self.cur_batch = self.get_batch()
+            batch = self.cur_batch
+
+        apply_update = self._count % self.gas == 0
+        path_batches = {
+            p.name: p.cur_batch for p in self._path_intermediates()
+        }
+        itd_data = {
+            c.name: c.get_unroll_data()
+            for c in self._children
+            if hasattr(c, "replay_unroll") and not c._first_order
+        }
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self._rng_seed), self._count
+        )
+        update_fn = self._get_update_fn(apply_update)
+        new_states, loss_dict = update_fn(
+            self._engine.states, batch, path_batches, itd_data, rng
+        )
+        self._engine.states = new_states
+        return loss_dict
+
+    def _path_intermediates(self):
+        seen = {}
+        for path in self._paths:
+            for q in path[1:-1]:
+                seen[q.name] = q
+        return list(seen.values())
+
+    # ------------------------------------------------------------------
+    # step recursion — semantics identical to reference problem.py:371-454
+    # ------------------------------------------------------------------
+    def step_normal(self, global_step=None):
+        if self.check_ready():
+            if self._inner_loop_start:
+                if self.is_implemented("on_inner_loop_start"):
+                    self.on_inner_loop_start()
+                self._inner_loop_start = False
+                if self._roll_back:
+                    self.cache_states()
+
+            if self._training:
+                self._count += 1
+
+            loss_dict = self.one_step_descent()
+
+            if (
+                self.log_step > 0
+                and self._count % self.log_step == 0
+                and self.is_rank_zero()
+            ):
+                self.log(loss_dict, global_step)
+
+            if (
+                self._training
+                and self._count % (self._unroll_steps * self.gas) == 0
+                and self._count > self.warmup_steps
+            ):
+                for problem in self._parents:
+                    idx = problem.children.index(self)
+                    problem.ready[idx] = True
+                    problem.step_normal(global_step=global_step)
+                self._inner_loop_start = True
+
+            self.ready = [False for _ in range(len(self._children))]
+
+    def step_after_roll_back(self):
+        if self.check_ready() and self._training:
+            if self._roll_back:
+                self.recover_states()
+                _ = self.one_step_descent(batch=self.cur_batch)
+                for problem in self._parents:
+                    idx = problem.children.index(self)
+                    problem.ready[idx] = True
+                    problem.step_after_roll_back()
+            self.ready = [False for _ in range(len(self._children))]
+
+    def step(self, global_step=None):
+        self._global_step = global_step
+        self.step_normal(global_step=global_step)
+        if (
+            self._count % (self._unroll_steps * self.gas) == 0
+            and self._count > self.warmup_steps
+        ):
+            self.step_after_roll_back()
+
+    # ------------------------------------------------------------------
+    # data loading (reference problem.py:456-494)
+    # ------------------------------------------------------------------
+    def get_batch(self):
+        batch = tuple(
+            self.get_batch_single_loader(i)
+            for i in range(len(self.train_data_loader))
+        )
+        return batch[0] if len(batch) == 1 else batch
+
+    def get_batch_single_loader(self, idx):
+        data_iterator = self.train_data_iterator[idx]
+        try:
+            batch = next(data_iterator)
+        except StopIteration:
+            if idx == 0:
+                self.epoch_callback_exec()
+            self.epoch_counter[idx] += 1
+            train_data_loader = self.train_data_loader[idx]
+            if hasattr(train_data_loader, "set_epoch"):
+                train_data_loader.set_epoch(self.epoch_counter[idx])
+            self.train_data_iterator[idx] = iter(train_data_loader)
+            batch = next(self.train_data_iterator[idx])
+        return self._convert_batch(batch)
+
+    def _convert_batch(self, batch):
+        def put(x):
+            arr = jnp.asarray(x) if not isinstance(x, jax.Array) else x
+            if self.device_sharding is not None:
+                arr = jax.device_put(arr, self.device_sharding)
+            return arr
+
+        if isinstance(batch, dict):
+            return {k: put(v) for k, v in batch.items()}
+        if isinstance(batch, (tuple, list)):
+            return tuple(put(v) for v in batch)
+        return put(batch)
+
+    def epoch_callback_exec(self):
+        if self.is_implemented("epoch_callback"):
+            self.epoch_callback()
+
+    # ------------------------------------------------------------------
+    # roll-back cache: free in a functional setting
+    # (reference deepcopy-based cache, implicit_problem.py:67-78)
+    # ------------------------------------------------------------------
+    def cache_states(self):
+        self._state_cache = self.state  # immutable pytree: reference suffices
+
+    def recover_states(self):
+        assert self._state_cache is not None, "no cached state to recover"
+        self.state = self._state_cache
+        self._state_cache = None
+
+    # ------------------------------------------------------------------
+    # misc parity helpers
+    # ------------------------------------------------------------------
+    def check_ready(self) -> bool:
+        """All children reported (reference problem.py:758-766)."""
+        return all(self.ready)
+
+    def gradient_accumulation_boundary(self) -> bool:
+        return bool(self._count % self.gas == 0)
+
+    def state_dict(self) -> Dict[str, Any]:
+        """Whole-problem state as a host pytree (reference problem.py:638-653).
+        Orbax-serializable."""
+        return jax.device_get(self.state)
+
+    def load_state_dict(self, state_dict):
+        st = self.state
+        self.state = jax.tree_util.tree_map(
+            lambda cur, new: jnp.asarray(new, dtype=cur.dtype), st, state_dict
+        )
+
+    def log(self, stats, global_step):
+        loss_log = log_from_loss_dict(stats)
+        if self.logger is not None:
+            self.logger.info(
+                f'[Problem "{self._name}"] [Global Step {global_step}] '
+                f"[Local Step {self._count}] {loss_log}"
+            )
+            cur_step = self._count if self._config.log_local_step else global_step
+            self.logger.log(stats, tag=self._name, step=cur_step)
+
+    def add_child(self, problem: "Problem"):
+        assert problem is not self
+        self._children.append(problem)
+
+    def add_parent(self, problem: "Problem"):
+        assert problem is not self
+        self._parents.append(problem)
+
+    def add_paths(self, paths):
+        self._paths.extend(paths)
+
+    def add_logger(self, logger):
+        self.logger = logger
+
+    def add_env(self, env):
+        self.env = env
+
+    def clear_dependencies(self):
+        self._children = []
+        self._parents = []
+        self._paths = []
+        self._update_fns = {}
+
+    def is_implemented(self, fn_name: str) -> bool:
+        return callable(getattr(self, fn_name, None))
+
+    def is_rank_zero(self) -> bool:
+        return jax.process_index() == 0
+
+    def train(self):
+        self._training = True
+
+    def eval(self):
+        self._training = False
+
+    # parity aliases (reference problem.py:836-854)
+    def parameters(self):
+        return self.params
+
+    def trainable_parameters(self):
+        return self.params
+
+    def meta_trainable_parameters(self):
+        if self._meta_mask is None:
+            return self.params
+        return self.meta_filter_grad(self.params)
