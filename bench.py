@@ -1,0 +1,107 @@
+"""Headline benchmark: meta-steps/sec on Meta-Weight-Net CIFAR-10 reweighting
+(ResNet-32 classifier + MLP reweighter, darts solver, unroll=1) — the primary
+metric named in BASELINE.json.
+
+Prints ONE JSON line:
+  {"metric": "mwn_meta_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": R}
+
+``vs_baseline`` compares against the reference implementation
+(leopard-ai/betty + torch) executed on the same workload shapes on this
+machine's CPU (the only hardware the reference can use here; it publishes no
+throughput numbers of its own — BASELINE.md). The reference measurement is
+cached in .bench_reference_cache.json.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+CACHE = Path(__file__).resolve().parent / ".bench_reference_cache.json"
+
+META_STEPS_WARMUP = 3
+META_STEPS_TIMED = 30
+BATCH = 128
+
+
+def bench_ours():
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "examples" / "learning_to_reweight"))
+    from main import build_engine, parse_args  # noqa: E402
+
+    args = parse_args([
+        "--train_iters", "0",
+        "--batch_size", str(BATCH),
+        "--train_size", str(BATCH * 8),
+        "--meta_size", str(BATCH * 4),
+    ])
+    engine = build_engine(args)
+    engine.train()
+
+    import jax
+
+    # warmup (compile)
+    for i in range(META_STEPS_WARMUP):
+        engine.global_step += 1
+        engine.train_step()
+    jax.block_until_ready(engine.states["classifier"]["params"])
+
+    t0 = time.perf_counter()
+    for i in range(META_STEPS_TIMED):
+        engine.global_step += 1
+        engine.train_step()
+    jax.block_until_ready(engine.states["classifier"]["params"])
+    t1 = time.perf_counter()
+    return META_STEPS_TIMED / (t1 - t0)
+
+
+def bench_reference():
+    """Time the reference torch implementation on identical shapes (CPU).
+    Cached across runs; returns None if unavailable."""
+    if CACHE.exists():
+        try:
+            return json.loads(CACHE.read_text())["ref_steps_per_sec"]
+        except Exception:
+            pass
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        return None
+    try:
+        steps_per_sec = _run_reference(ref_root)
+    except Exception as e:  # pragma: no cover
+        print(f"# reference bench failed: {e!r}", file=sys.stderr)
+        return None
+    CACHE.write_text(json.dumps({"ref_steps_per_sec": steps_per_sec}))
+    return steps_per_sec
+
+
+def _run_reference(ref_root):
+    import subprocess
+
+    script = Path(__file__).resolve().parent / "bench_reference_impl.py"
+    out = subprocess.run(
+        [sys.executable, str(script), ref_root, str(BATCH)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-500:])
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ours = bench_ours()
+    ref = bench_reference()
+    vs = (ours / ref) if ref else 1.0
+    print(json.dumps({
+        "metric": "mwn_meta_steps_per_sec",
+        "value": round(ours, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+"""Model zoo for the example workloads.
+
+The reference keeps models inside ``examples/`` (ResNet-32 in
+``examples/learning_to_reweight/resnet.py``, Meta-Weight-Net MLP in
+``examples/learning_to_reweight/main.py``, DARTS supernet in
+``examples/neural_architecture_search/model_search.py``, Omniglot CNN in
+``examples/implicit_maml``). Here they are first-class flax modules designed
+for TPU: NCHW->NHWC layouts, bf16-friendly, BatchNorm via mutable
+``batch_stats`` collections threaded through the problem state.
+"""
+
+from betty_tpu.models.mlp import MLP, MetaWeightNet
+from betty_tpu.models.resnet import ResNet, ResNet32, WideResNet
+from betty_tpu.models.omniglot import OmniglotCNN
+
+__all__ = [
+    "MLP",
+    "MetaWeightNet",
+    "ResNet",
+    "ResNet32",
+    "WideResNet",
+    "OmniglotCNN",
+]

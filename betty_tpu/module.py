@@ -106,7 +106,9 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
         kw.update(apply_kwargs)
         if train_kwarg is not None:
             kw[train_kwarg] = train
-        return module.apply(vs, *args, rngs=rngs, mutable=list(mutable), **kw)
+        if mutable:  # flax returns (out, mutated) iff mutable is passed
+            return module.apply(vs, *args, rngs=rngs, mutable=list(mutable), **kw)
+        return module.apply(vs, *args, rngs=rngs, **kw)
 
     return FunctionalModule(apply_fn, variables=variables,
                             mutable_collections=mutable_collections)

@@ -341,14 +341,19 @@ class Problem(abc.ABC):
             variables = tree_cast(variables, self.dtype)
             args = tuple(tree_cast(a, self.dtype) for a in args)
 
-        capture = _ACTIVE_CAPTURE == self._name and self.module_fn.mutable_collections
         rngs = {"dropout": _TRACE_RNG} if (_TRACE_RNG is not None and self._training) else None
-        if capture:
+        mutable = self.module_fn.mutable_collections if self._training else ()
+        if mutable:
+            # train-mode BatchNorm etc. must be allowed to write its
+            # collections; the update is kept only when this problem is the
+            # one whose own loss is being evaluated (reference semantics:
+            # only the problem's own step updates its running stats)
             out, mutated = self.module_fn.apply(
                 variables, *args, train=self._training, rngs=rngs,
-                mutable=self.module_fn.mutable_collections, **kwargs
+                mutable=mutable, **kwargs
             )
-            _CAPTURED_MUTATIONS[self._name] = mutated
+            if _ACTIVE_CAPTURE == self._name:
+                _CAPTURED_MUTATIONS[self._name] = mutated
             return out
         out = self.module_fn.apply(
             variables, *args, train=self._training, rngs=rngs, mutable=(), **kwargs
@@ -382,7 +387,9 @@ class Problem(abc.ABC):
             _CAPTURED_MUTATIONS = saved_mut
         is_dict = isinstance(maybe_loss_dict, dict)
         loss = maybe_loss_dict["loss"] if is_dict else maybe_loss_dict
-        loss = jnp.asarray(loss, dtype=jnp.float32)
+        loss = jnp.asarray(loss)
+        if loss.dtype == jnp.bfloat16 or loss.dtype == jnp.float16:
+            loss = loss.astype(jnp.float32)  # bf16 compute, fp32 reduction
         loss_dict = {"loss": loss}
         if is_dict:
             for key, value in maybe_loss_dict.items():

@@ -48,7 +48,10 @@ def tree_dot(a, b):
     leaves_a = jax.tree_util.tree_leaves(a)
     leaves_b = jax.tree_util.tree_leaves(b)
     return sum(
-        jnp.vdot(x.astype(jnp.float32), y.astype(jnp.float32))
+        jnp.vdot(
+            x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+            y.astype(jnp.promote_types(y.dtype, jnp.float32)),
+        )
         for x, y in zip(leaves_a, leaves_b)
     )
 

@@ -1,0 +1,147 @@
+"""Problem-level behaviors: wiring, gradient accumulation, callbacks,
+meta masks, state_dict roundtrip (reference test/test_problem.py plus
+coverage the reference lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from betty_tpu import Config, EngineConfig
+
+from fixtures import Inner, Outer, make_engine
+
+
+def test_add_child_parent():
+    from betty_tpu import optim
+    from fixtures import child_module, parent_module
+
+    a = Outer("o1", module=parent_module(), optimizer=optim.sgd(lr=1.0))
+    b = Inner("i1", module=child_module(), optimizer=optim.sgd(lr=0.1))
+    a.add_child(b)
+    b.add_parent(a)
+    assert a.children == [b] and b.parents == [a]
+
+
+def test_gradient_accumulation_boundary():
+    """With gas=2, parameters only move on even local steps
+    (reference problem.py:356-367)."""
+    engine, outer, inner = make_engine(
+        Config(unroll_steps=4, gradient_accumulation=2),
+        EngineConfig(train_iters=4),
+    )
+    p0 = np.asarray(engine.states["inner"]["params"]["w"]).copy()
+    engine.inner.step(global_step=1)
+    p1 = np.asarray(engine.states["inner"]["params"]["w"])
+    assert np.array_equal(p0, p1), "params moved mid-accumulation"
+    acc = np.asarray(engine.states["inner"]["grad_acc"]["w"])
+    assert np.abs(acc).max() > 0, "gradient not accumulated"
+    engine.inner.step(global_step=2)
+    p2 = np.asarray(engine.states["inner"]["params"]["w"])
+    assert not np.array_equal(p1, p2), "params did not move at boundary"
+    acc2 = np.asarray(engine.states["inner"]["grad_acc"]["w"])
+    assert np.abs(acc2).max() == 0, "grad_acc not zeroed after step"
+
+
+def test_gas_equivalence():
+    """gas=2 over a split batch == gas=1 over the full batch (the defining
+    property of gradient accumulation)."""
+    from betty_tpu import Engine, optim
+    from fixtures import child_module, make_data, parent_module
+
+    train, valid = make_data()
+    x, y = train
+
+    def build(gas, loader, iters):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0), train_data_loader=[valid],
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1), train_data_loader=loader,
+                      config=Config(unroll_steps=8,
+                                    gradient_accumulation=gas))
+        eng = Engine(config=EngineConfig(train_iters=iters),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        eng.run()
+        return np.asarray(eng.states["inner"]["params"]["w"])
+
+    half = x.shape[0] // 2
+    # N optimizer steps on the full batch == N boundary steps over 2N
+    # accumulated half-batches: mean-loss halves average to the full-batch grad
+    w_full = build(1, [(x, y)], iters=2)
+    w_acc = build(2, [(x[:half], y[:half]), (x[half:], y[half:])], iters=4)
+    assert np.max(np.abs(w_full - w_acc)) < 1e-5
+
+
+def test_warmup_steps():
+    """No parent step until count exceeds warmup (reference problem.py:405-407)."""
+    engine, outer, inner = make_engine(
+        Config(unroll_steps=2, warmup_steps=4),
+        EngineConfig(train_iters=8),
+    )
+    engine.run()
+    # boundaries at counts 2,4,6,8 but counts <=4 are warmup -> parent steps at 6,8
+    assert outer.count == 2
+
+
+def test_meta_mask():
+    """Masked leaves are excluded from hypergradient perturbations."""
+    engine, outer, inner = make_engine(
+        Config(unroll_steps=1), EngineConfig(train_iters=1)
+    )
+    inner.set_meta_mask({"w": jnp.zeros(20, dtype=bool)})
+    engine.run()
+    # with all-False meta mask the darts vector is zero -> hypergrad zero ->
+    # outer update driven by direct grad only, which is zero for this loss
+    # (outer loss does not involve outer params directly)... outer params
+    # should have moved only by the param_callback clamp (identity here).
+    w = np.asarray(engine.states["outer"]["params"]["w"])
+    assert np.allclose(w, np.ones(20))
+
+
+def test_state_dict_roundtrip():
+    engine, outer, inner = make_engine(
+        Config(unroll_steps=1), EngineConfig(train_iters=3)
+    )
+    engine.run()
+    snap = inner.state_dict()
+    w_before = np.asarray(snap["params"]["w"]).copy()
+    # perturb then restore
+    st = dict(inner.state)
+    st["params"] = jax.tree_util.tree_map(lambda x: x + 1.0, st["params"])
+    inner.state = st
+    inner.load_state_dict(snap)
+    assert np.allclose(np.asarray(inner.state["params"]["w"]), w_before)
+
+
+def test_callbacks_fire():
+    calls = {"grad": 0, "epoch": 0}
+
+    class CountingInner(Inner):
+        def grad_callback(self):
+            calls["grad"] += 1
+
+        def epoch_callback(self):
+            calls["epoch"] += 1
+
+    from betty_tpu import Engine, optim
+    from fixtures import child_module, make_data, parent_module
+
+    train, valid = make_data()
+    outer = Outer("outer", module=parent_module(), optimizer=optim.sgd(lr=1.0),
+                  train_data_loader=[valid], config=Config())
+    inner = CountingInner("inner", module=child_module(),
+                          optimizer=optim.sgd(lr=0.1),
+                          train_data_loader=[train],
+                          config=Config(unroll_steps=2))
+    engine = Engine(config=EngineConfig(train_iters=4),
+                    problems=[outer, inner],
+                    dependencies={"u2l": {outer: [inner]},
+                                  "l2u": {inner: [outer]}})
+    engine.run()
+    # grad_callback fires inside the traced update; trace caching means it
+    # executes at least once per compiled variant
+    assert calls["grad"] >= 1
+    # single-batch loader -> epoch rolls over every step after the first
+    assert calls["epoch"] >= 1
