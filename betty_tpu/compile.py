@@ -1,0 +1,431 @@
+"""Compiled-block execution: fuse whole unroll schedules into one XLA program.
+
+The reference (and our default driver mode) dispatches one update per inner
+step from Python — fine on a local GPU, but on TPU the per-dispatch host
+latency dominates once the per-step compute is fast. Because every quantity
+that shapes the schedule (``unroll_steps``, ``gradient_accumulation``,
+``roll_back``) is static config, the entire step recursion of
+``Problem.step_normal`` / ``step_after_roll_back`` (reference
+``problem.py:371-454``) can be *simulated on the host once*, yielding a
+periodic event schedule, which is then traced into a single jitted block:
+runs of identical leaf steps become ``lax.scan`` segments, parent steps with
+their hypergradient solvers are inlined, roll-back becomes carrying the
+pre-unroll pytree, and user hooks (``on_inner_loop_start``, callbacks)
+execute inside the trace via the context binding.
+
+One block = one steady-state period of the schedule = exactly one dispatch.
+Numerics match driver mode (same update functions, same
+per-step RNG folding, up to XLA fusion reassociation) — asserted in
+tests/test_compile.py.
+
+Current restrictions (driver mode remains fully general): no
+IterativeProblem, warmup_steps must be 0, and hooks must be jnp-traceable.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from betty_tpu.problems.problem import _CtxBinding
+
+
+# ---------------------------------------------------------------------------
+# schedule simulation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Event:
+    name: str
+    apply_update: bool
+    advance_sched: bool
+    inner_loop_start: bool = False
+    rollback_recover: bool = False
+    reuse_batch: bool = False
+    count_offset: int = 0  # problem-local count at execution time (post-inc)
+
+
+@dataclass
+class _SimState:
+    count: int = 0
+    inner_loop_start: bool = True
+    ready: List[bool] = field(default_factory=list)
+
+
+class _Simulator:
+    """Replays the driver recursion symbolically to extract the event list
+    for one steady-state period."""
+
+    MAX_ITERS = 4096
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.problems = {p.name: p for p in engine.problems}
+        self.state = {
+            p.name: _SimState(ready=[False] * len(p.children))
+            for p in engine.problems
+        }
+        self.events: List[Event] = []
+
+    def phase(self):
+        return tuple(
+            (
+                s.count % (self.problems[n]._unroll_steps * self.problems[n].gas),
+                s.inner_loop_start,
+                tuple(s.ready),
+            )
+            for n, s in sorted(self.state.items())
+        )
+
+    def run(self):
+        initial = self.phase()
+        per_iter_events: List[List[Event]] = []
+        for it in range(self.MAX_ITERS):
+            start = len(self.events)
+            for leaf in self.engine.leaves:
+                self.sim_step(leaf)
+            per_iter_events.append(self.events[start:])
+            if self.phase() == initial:
+                return self.events, it + 1
+        raise RuntimeError(
+            "Could not find a periodic schedule within "
+            f"{self.MAX_ITERS} engine iterations; use driver mode."
+        )
+
+    # -- mirrors Problem.step -------------------------------------------
+    def sim_step(self, p):
+        self.sim_step_normal(p)
+        s = self.state[p.name]
+        if s.count % (p._unroll_steps * p.gas) == 0:
+            self.sim_step_after_roll_back(p)
+
+    def sim_step_normal(self, p):
+        s = self.state[p.name]
+        if not all(s.ready):
+            return
+        ev = Event(p.name, apply_update=False, advance_sched=not p._roll_back)
+        if s.inner_loop_start:
+            ev.inner_loop_start = True
+            s.inner_loop_start = False
+        s.count += 1
+        ev.count_offset = s.count
+        ev.apply_update = s.count % p.gas == 0
+        self.events.append(ev)
+
+        if s.count % (p._unroll_steps * p.gas) == 0:
+            for parent in p.parents:
+                idx = parent.children.index(p)
+                self.state[parent.name].ready[idx] = True
+                self.sim_step_normal(parent)
+            s.inner_loop_start = True
+        s.ready = [False] * len(p.children)
+
+    def sim_step_after_roll_back(self, p):
+        s = self.state[p.name]
+        if not all(s.ready):
+            return
+        if p._roll_back:
+            self.events.append(
+                Event(
+                    p.name,
+                    apply_update=s.count % p.gas == 0,
+                    advance_sched=True,
+                    rollback_recover=True,
+                    reuse_batch=True,
+                    count_offset=s.count,
+                )
+            )
+            for parent in p.parents:
+                idx = parent.children.index(p)
+                self.state[parent.name].ready[idx] = True
+                self.sim_step_after_roll_back(parent)
+        s.ready = [False] * len(p.children)
+
+
+# ---------------------------------------------------------------------------
+# segment compression
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Segment:
+    events: List[Event]
+    is_scan: bool
+
+    @property
+    def name(self):
+        return self.events[0].name
+
+
+MIN_SCAN_RUN = 4
+
+
+def compress(events: List[Event], problems) -> List[Segment]:
+    segments: List[Segment] = []
+    i = 0
+    while i < len(events):
+        ev = events[i]
+        p = problems[ev.name]
+        scannable = (
+            not ev.inner_loop_start
+            and not ev.rollback_recover
+            and not ev.reuse_batch
+            and not p._paths
+        )
+        j = i
+        if scannable:
+            while (
+                j + 1 < len(events)
+                and events[j + 1].name == ev.name
+                and events[j + 1].apply_update == ev.apply_update
+                and events[j + 1].advance_sched == ev.advance_sched
+                and not events[j + 1].inner_loop_start
+                and not events[j + 1].rollback_recover
+                and not events[j + 1].reuse_batch
+            ):
+                j += 1
+        run = events[i : j + 1]
+        if scannable and len(run) >= MIN_SCAN_RUN:
+            segments.append(Segment(run, is_scan=True))
+            i = j + 1
+        else:
+            segments.append(Segment([ev], is_scan=False))
+            i += 1
+    return segments
+
+
+# ---------------------------------------------------------------------------
+# block runner
+# ---------------------------------------------------------------------------
+
+
+class BlockRunner:
+    """Executes the periodic schedule. ``scan_periods=K`` stacks K periods of
+    batches and scans the whole period program — one host dispatch (and one
+    batched host->device transfer) per K meta-periods, which amortizes tunnel
+    and dispatch latency to near zero."""
+
+    def __init__(self, engine, scan_periods: int = 1):
+        self.engine = engine
+        self.scan_periods = max(1, int(scan_periods))
+        self.problems = {p.name: p for p in engine.problems}
+
+        for p in engine.problems:
+            assert not hasattr(p, "replay_unroll"), (
+                "compile_blocks does not support IterativeProblem yet; "
+                "use driver mode"
+            )
+            assert p.warmup_steps == 0, (
+                "compile_blocks requires warmup_steps == 0; use driver mode"
+            )
+
+        self.events, self.period = _Simulator(engine).run()
+        self.segments = compress(self.events, self.problems)
+        self.steps_per_problem: Dict[str, int] = {}
+        for ev in self.events:
+            if not ev.reuse_batch:
+                self.steps_per_problem[ev.name] = (
+                    self.steps_per_problem.get(ev.name, 0) + 1
+                )
+        # count advancement per period (incl. nothing for rollback re-steps)
+        self.count_delta = {
+            name: max(
+                (e.count_offset for e in self.events if e.name == name),
+                default=0,
+            )
+            for name in self.problems
+        }
+        donate = (0,) if engine.config.donate_state else ()
+        self._jit_block = jax.jit(self._block, donate_argnums=donate)
+
+    # -- host side -------------------------------------------------------
+    def collect_batches(self):
+        """Pull one period's batches from the (host) data iterators as raw
+        numpy: staging happens on the host so a whole block ships to the
+        device in one transfer per segment (per-batch device_puts would pay
+        the host->device round-trip once per inner step)."""
+        import numpy as np
+
+        seg_batches = []
+        for seg in self.segments:
+            p = self.problems[seg.name]
+            p._batch_to_host = True
+            try:
+                if seg.is_scan:
+                    batches = [p.get_batch() for _ in seg.events]
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *batches
+                    )
+                    seg_batches.append(stacked)
+                    p.cur_batch = batches[-1]
+                elif seg.events[0].reuse_batch:
+                    seg_batches.append(None)
+                else:
+                    b = p.get_batch()
+                    seg_batches.append(b)
+                    p.cur_batch = b
+            finally:
+                p._batch_to_host = False
+        return seg_batches
+
+    def _device_put_segments(self, seg_batches, extra_leading_axes):
+        """One transfer per segment, sharding the batch axis when a mesh is
+        active (the batch axis sits behind the staging axes)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.engine.mesh
+        out = []
+        for seg, batch, lead in zip(self.segments, seg_batches, extra_leading_axes):
+            if batch is None:
+                out.append(None)
+                continue
+            if mesh is None:
+                out.append(jax.device_put(batch))
+                continue
+
+            def put(x, _lead=lead):
+                spec = P(*([None] * _lead), "dp")
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            out.append(jax.tree_util.tree_map(put, batch))
+        return out
+
+    def run_block(self):
+        """Run ``scan_periods`` schedule periods in ONE dispatch."""
+        import numpy as np
+
+        engine = self.engine
+        K = self.scan_periods
+        per_period = [self.collect_batches() for _ in range(K)]
+        if K == 1:
+            seg_batches = per_period[0]
+        else:
+            # stack each segment's batches across periods (leading axis K)
+            seg_batches = [
+                None
+                if per_period[0][i] is None
+                else jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs),
+                    *[per_period[k][i] for k in range(K)],
+                )
+                for i in range(len(self.segments))
+            ]
+        leads = [
+            (1 if K > 1 else 0) + (1 if seg.is_scan else 0)
+            for seg in self.segments
+        ]
+        seg_batches = self._device_put_segments(seg_batches, leads)
+        counts0 = {
+            name: jnp.asarray(self.problems[name]._count, jnp.int32)
+            for name in self.problems
+        }
+        new_states, last_loss = self._jit_block(
+            engine.states, seg_batches, counts0
+        )
+        engine.states = new_states
+        for name, p in self.problems.items():
+            p._count += self.count_delta[name] * K
+        return last_loss
+
+    # -- traced block ------------------------------------------------------
+    def _block(self, states, seg_batches, counts0):
+        if self.scan_periods == 1:
+            return self._one_period(states, seg_batches, counts0)
+
+        ks = jnp.arange(self.scan_periods, dtype=jnp.int32)
+
+        def period_body(carry, xs):
+            per_seg, k = xs
+            counts_k = {
+                n: counts0[n] + k * self.count_delta[n] for n in counts0
+            }
+            new_carry, last_loss = self._one_period(carry, per_seg, counts_k)
+            return new_carry, last_loss
+
+        states, losses = jax.lax.scan(period_body, states, (seg_batches, ks))
+        last_loss = jax.tree_util.tree_map(lambda x: x[-1], losses)
+        return states, last_loss
+
+    def _one_period(self, states, seg_batches, counts0):
+        cur_batches = {}
+        cache = {}
+        last_loss = {}
+
+        for seg, seg_batch in zip(self.segments, seg_batches):
+            p = self.problems[seg.name]
+            base_key = jax.random.PRNGKey(p._rng_seed)
+
+            if seg.is_scan:
+                upd = p.build_update_fn(
+                    apply_update=seg.events[0].apply_update,
+                    advance_sched=seg.events[0].advance_sched,
+                )
+                offsets = jnp.asarray(
+                    [e.count_offset for e in seg.events], jnp.int32
+                )
+
+                # rng parity with driver mode: fold the *absolute* count
+                # (counts0 + in-block offset), exactly as one_step_descent.
+                def body(carry, xs, _upd=upd, _base=base_key, _n=seg.name):
+                    batch, off = xs
+                    rng = jax.random.fold_in(_base, counts0[_n] + off)
+                    return _upd(carry, batch, {}, {}, rng)
+
+                states, losses = jax.lax.scan(
+                    body, states, (seg_batch, offsets)
+                )
+                cur_batches[seg.name] = jax.tree_util.tree_map(
+                    lambda x: x[-1], seg_batch
+                )
+                last_loss[seg.name] = jax.tree_util.tree_map(
+                    lambda x: x[-1], losses
+                )
+                continue
+
+            ev = seg.events[0]
+
+            if ev.inner_loop_start:
+                states = self._run_inner_loop_start(p, states)
+                if p._roll_back:
+                    cache[p.name] = states[p.name]
+
+            if ev.rollback_recover:
+                states = {**states, p.name: cache[p.name]}
+
+            if ev.reuse_batch:
+                batch = cur_batches[p.name]
+            else:
+                batch = seg_batch
+                cur_batches[p.name] = batch
+
+            path_batches = {
+                q.name: cur_batches[q.name] for q in p._path_intermediates()
+            }
+            rng = jax.random.fold_in(base_key, counts0[p.name] + ev.count_offset)
+            upd = p.build_update_fn(
+                apply_update=ev.apply_update, advance_sched=ev.advance_sched
+            )
+            states, loss = upd(states, batch, path_batches, {}, rng)
+            last_loss[p.name] = loss
+
+        return states, last_loss
+
+    def _run_inner_loop_start(self, p, states):
+        """Execute the user's on_inner_loop_start hook inside the trace."""
+        if not p.is_implemented("on_inner_loop_start"):
+            return states
+        import betty_tpu.problems.problem as problem_mod
+
+        ctx = {
+            name: {"params": s["params"], "extra": s["extra"]}
+            for name, s in states.items()
+        }
+        with _CtxBinding(ctx, None, None):
+            p.on_inner_loop_start()
+            new_params = problem_mod._TRACE_CTX[p.name]["params"]
+        return {
+            **states,
+            p.name: {**states[p.name], "params": new_params},
+        }

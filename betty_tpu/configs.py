@@ -102,6 +102,9 @@ class EngineConfig:
     mesh_shape: Optional[Tuple[Tuple[str, int], ...]] = None
     # Fully compile each unroll block into one XLA program (lax.scan inner loop).
     compile_blocks: bool = False
+    # Schedule periods per dispatch in compiled-block mode; 0 = auto
+    # (bounded by valid_step and a staging-memory cap).
+    block_periods: int = 0
     # Donate state buffers to jitted updates (in-place on device; saves HBM).
     donate_state: bool = True
     # jax.profiler trace directory; None disables.

@@ -209,6 +209,8 @@ class Engine:
             leaf.step(global_step=self.global_step)
 
     def run(self):
+        if self.config.compile_blocks:
+            return self.run_compiled()
         self.train()
         if self.config.profile_dir:
             jax.profiler.start_trace(self.config.profile_dir)
@@ -240,6 +242,72 @@ class Engine:
                     and it % self.config.checkpoint_step == 0
                 ):
                     self.save_checkpoint(self.config.checkpoint_dir)
+        finally:
+            if self.config.profile_dir:
+                jax.profiler.stop_trace()
+        self.cleanup()
+
+    def run_compiled(self):
+        """Compiled-block training loop: one XLA dispatch per schedule period
+        (see betty_tpu/compile.py). Numerically equivalent to driver mode."""
+        from betty_tpu.compile import BlockRunner
+
+        probe = BlockRunner(self)  # schedule simulation only (cheap)
+        K = self.config.block_periods
+        if K <= 0:  # auto: amortize dispatch without outrunning validation
+            K = max(1, min(self.valid_step, self.train_iters, 512)
+                    // probe.period)
+            K = min(K, 32)
+        runner = BlockRunner(self, scan_periods=K)
+        period = runner.period * K
+        self.train()
+        if self.config.profile_dir:
+            jax.profiler.start_trace(self.config.profile_dir)
+        try:
+            it = 0
+            while it + period <= self.train_iters:
+                last_loss = runner.run_block()
+                it += period
+                self.global_step += period
+
+                for p in self.problems:
+                    if (
+                        p.log_step > 0
+                        and p.name in last_loss
+                        and self.is_rank_zero()
+                    ):
+                        p.log(last_loss[p.name], self.global_step)
+
+                if (
+                    self.global_step % self.valid_step
+                ) < period and self.do_validation():
+                    self.eval()
+                    validation_stats = self.validation() or {}
+                    self.logger.info(
+                        f"[Validation] [Global Step {self.global_step}] "
+                        f"{log_from_loss_dict(validation_stats)}"
+                    )
+                    self.logger.log(
+                        validation_stats, tag="validation",
+                        step=self.global_step,
+                    )
+                    self.train()
+                    if self.early_stopping is not None:
+                        if self.early_stopping(validation_stats):
+                            self.logger.info("Early stopping is executed!")
+                            break
+
+                if (
+                    self.config.checkpoint_step > 0
+                    and self.config.checkpoint_dir is not None
+                    and (self.global_step % self.config.checkpoint_step) < period
+                ):
+                    self.save_checkpoint(self.config.checkpoint_dir)
+
+            # remainder iterations fall back to the (equivalent-numerics) driver
+            for _ in range(self.train_iters - it):
+                self.global_step += 1
+                self.train_step()
         finally:
             if self.config.profile_dir:
                 jax.profiler.stop_trace()

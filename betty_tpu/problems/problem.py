@@ -417,7 +417,7 @@ class Problem(abc.ABC):
     # the pure update function (reference one_step_descent + backward,
     # problem.py:334-369, 521-597)
     # ------------------------------------------------------------------
-    def build_update_fn(self, apply_update: bool) -> Callable:
+    def build_update_fn(self, apply_update: bool, advance_sched: bool = True) -> Callable:
         """Build the pure per-step update: direct grad + hypergradient paths
         + (at accumulation boundaries) optimizer step.
 
@@ -481,8 +481,11 @@ class Problem(abc.ABC):
             if apply_update:
                 state = problem._apply_optimizer(state, ctx, rng)
 
-            # per-inner-step scheduler counter (reference problem.py:391-392)
-            state["sched_step"] = state["sched_step"] + 1
+            # per-inner-step scheduler counter. Reference semantics
+            # (problem.py:391-392, 426-428): with roll_back the scheduler is
+            # NOT stepped during the unroll, only once per roll-back re-step.
+            if advance_sched:
+                state["sched_step"] = state["sched_step"] + 1
 
             new_states = dict(states)
             new_states[problem._name] = state
@@ -541,20 +544,22 @@ class Problem(abc.ABC):
         state["grad_acc"] = tree_zeros_like(state["grad_acc"])
         return state
 
-    def _get_update_fn(self, apply_update: bool) -> Callable:
-        key = bool(apply_update)
+    def _get_update_fn(self, apply_update: bool, advance_sched: bool = True) -> Callable:
+        key = (bool(apply_update), bool(advance_sched))
         if key not in self._update_fns:
-            fn = self.build_update_fn(apply_update=key)
+            fn = self.build_update_fn(apply_update=key[0], advance_sched=key[1])
             self._update_fns[key] = jax.jit(fn)
         return self._update_fns[key]
 
     # ------------------------------------------------------------------
     # one step descent (host driver; reference problem.py:334-369)
     # ------------------------------------------------------------------
-    def one_step_descent(self, batch=None):
+    def one_step_descent(self, batch=None, advance_sched=None):
         if batch is None:
             self.cur_batch = self.get_batch()
             batch = self.cur_batch
+        if advance_sched is None:
+            advance_sched = not self._roll_back
 
         apply_update = self._count % self.gas == 0
         path_batches = {
@@ -568,7 +573,7 @@ class Problem(abc.ABC):
         rng = jax.random.fold_in(
             jax.random.PRNGKey(self._rng_seed), self._count
         )
-        update_fn = self._get_update_fn(apply_update)
+        update_fn = self._get_update_fn(apply_update, advance_sched)
         new_states, loss_dict = update_fn(
             self._engine.states, batch, path_batches, itd_data, rng
         )
@@ -623,7 +628,7 @@ class Problem(abc.ABC):
         if self.check_ready() and self._training:
             if self._roll_back:
                 self.recover_states()
-                _ = self.one_step_descent(batch=self.cur_batch)
+                _ = self.one_step_descent(batch=self.cur_batch, advance_sched=True)
                 for problem in self._parents:
                     idx = problem.children.index(self)
                     problem.ready[idx] = True
@@ -665,11 +670,19 @@ class Problem(abc.ABC):
         return self._convert_batch(batch)
 
     def _convert_batch(self, batch):
-        def put(x):
-            arr = jnp.asarray(x) if not isinstance(x, jax.Array) else x
-            if self.device_sharding is not None:
-                arr = jax.device_put(arr, self.device_sharding)
-            return arr
+        import numpy as np
+
+        if getattr(self, "_batch_to_host", False):
+            # block-mode staging: keep batches on the host so the runner can
+            # stack a whole block and ship it in one transfer
+            def put(x):
+                return np.asarray(x)
+        else:
+            def put(x):
+                arr = jnp.asarray(x) if not isinstance(x, jax.Array) else x
+                if self.device_sharding is not None:
+                    arr = jax.device_put(arr, self.device_sharding)
+                return arr
 
         if isinstance(batch, dict):
             return {k: put(v) for k, v in batch.items()}
