@@ -107,9 +107,11 @@ def set_injected_lr(opt_state, lr):
     return _set(opt_state)
 
 
-def _maybe_inject(factory, schedule, **kwargs):
+def _maybe_inject(factory, schedule, static=(), **kwargs):
     if schedule is not None:
-        return optax.inject_hyperparams(factory)(**kwargs)
+        # only the learning rate is schedule-injected; everything else stays
+        # a Python constant (some are used in `if` branches at build time)
+        return optax.inject_hyperparams(factory, static_args=static)(**kwargs)
     return factory(**kwargs)
 
 
@@ -128,7 +130,9 @@ def sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
         parts.append(optax.scale_by_learning_rate(learning_rate, flip_sign=False))
         return optax.chain(*parts)
 
-    tx = _maybe_inject(factory, schedule, learning_rate=lr)
+    tx = _maybe_inject(factory, schedule,
+                       static=("momentum", "weight_decay", "nesterov"),
+                       learning_rate=lr)
     return Optimizer(tx, kind="sgd", lr=lr, schedule=schedule)
 
 
@@ -146,7 +150,9 @@ def adam(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8
         parts.append(optax.scale_by_learning_rate(learning_rate, flip_sign=False))
         return optax.chain(*parts)
 
-    tx = _maybe_inject(factory, schedule, learning_rate=lr)
+    tx = _maybe_inject(factory, schedule,
+                       static=("b1", "b2", "eps", "weight_decay"),
+                       learning_rate=lr)
     return Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
 
 
@@ -163,7 +169,9 @@ def adamw(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-
             optax.scale_by_learning_rate(learning_rate, flip_sign=False),
         )
 
-    tx = _maybe_inject(factory, schedule, learning_rate=lr)
+    tx = _maybe_inject(factory, schedule,
+                       static=("b1", "b2", "eps", "weight_decay"),
+                       learning_rate=lr)
     return Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
 
 

@@ -1,0 +1,113 @@
+"""Smoke tests: every example workload builds and trains a few iterations.
+These exercise the full capability surface (HPO, MWN reweighting, DARTS NAS
+with roll-back, trilevel LBI with two hypergradient paths, iMAML with Env +
+gradient accumulation, SAMA transformer reweighting in bf16)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parents[1] / "examples"
+
+
+def load(name):
+    import importlib.util
+
+    path = EXAMPLES / name / "main.py"
+    spec = importlib.util.spec_from_file_location(f"example_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"example_{name}"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_logistic_regression_hpo():
+    mod = load("logistic_regression_hpo")
+    args = type("A", (), dict(
+        solver="cg", train_iters=200, unroll_steps=100, inner_lr=0.1,
+        outer_lr=1.0, dim=20, seed=0, log_step=-1, compile_blocks=False,
+    ))
+    engine, outer = mod.build_engine(args)
+    engine.run()
+    ctx = {n: {"params": s["params"], "extra": s["extra"]}
+           for n, s in engine.states.items()}
+    loss, _, _ = outer.eval_loss(ctx, outer.cur_batch)
+    assert float(loss) < 0.7  # clearly learning after 2 meta-steps
+
+
+def test_learning_to_reweight():
+    mod = load("learning_to_reweight")
+    args = mod.parse_args([
+        "--train_iters", "3", "--batch_size", "16", "--train_size", "64",
+        "--meta_size", "32",
+    ])
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.classifier.count == 3
+    assert engine.reweight.count == 3
+
+
+def test_nas_darts_search():
+    mod = load("neural_architecture_search")
+    args = type("A", (), dict(
+        batch_size=4, channels=2, layers=1, lr=0.025, arch_lr=3e-4,
+        unroll_steps=1, train_iters=2, valid_step=1000, train_size=16,
+        log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    from betty_tpu.models.darts import derive_genotype
+
+    g = derive_genotype(engine.arch.params)
+    assert len(g.normal) == 8 and len(g.reduce) == 8
+
+
+def test_learning_by_ignoring_trilevel():
+    mod = load("learning_by_ignoring")
+    args = type("A", (), dict(
+        dim=16, classes=3, n_source=128, n_target=128, batch=32, lr=0.05,
+        meta_lr=0.01, rho=0.1, train_iters=4, log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.pretrain.count == 4
+    assert engine.finetune.count == 4
+    assert engine.reweight.count == 4
+    # two hypergradient paths into reweight
+    assert len(engine.reweight.paths) == 2
+
+
+def test_implicit_maml():
+    mod = load("implicit_maml")
+    args = type("A", (), dict(
+        ways=3, shots=1, inner_steps=2, meta_batch_size=2, inner_lr=0.1,
+        meta_lr=1e-3, reg=2.0, train_iters=8, seed=0, log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.inner.count == 8
+    assert engine.meta.count == 4  # one micro-step per unroll window
+    # meta applies its optimizer every meta_batch_size micro-steps
+    assert engine.meta.gradient_accumulation_boundary()
+
+
+def test_bert_sama_reweighting_bf16():
+    mod = load("bert_data_reweighting")
+    args = mod.parse_args([
+        "--train_iters", "6", "--batch_size", "8", "--seq_len", "16",
+        "--dim", "32", "--depth", "1", "--heads", "2",
+        "--train_size", "64", "--meta_size", "32", "--unroll_steps", "2",
+        "--precision", "bf16", "--hypergradient", "sama",
+    ])
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.classifier.count == 6
+    assert engine.reweight.count == 3
+    # SAMA requires last_grad state on the preconditioned (classifier) problem
+    assert "last_grad" in engine.states["classifier"]
+    w = np.asarray(
+        engine.states["reweight"]["params"]["Dense_0"]["kernel"]
+    )
+    assert np.all(np.isfinite(w))
