@@ -10,14 +10,28 @@ for TPU: NCHW->NHWC layouts, bf16-friendly, BatchNorm via mutable
 """
 
 from betty_tpu.models.mlp import MLP, MetaWeightNet
-from betty_tpu.models.resnet import ResNet, ResNet32, WideResNet
+from betty_tpu.models.resnet import (
+    ResNet,
+    ResNet32,
+    ResNet50,
+    ResNetV1,
+    WideResNet,
+)
 from betty_tpu.models.omniglot import OmniglotCNN
+from betty_tpu.models.transformer import (
+    TransformerClassifier,
+    roberta_large_config,
+)
 
 __all__ = [
     "MLP",
     "MetaWeightNet",
     "ResNet",
     "ResNet32",
+    "ResNet50",
+    "ResNetV1",
     "WideResNet",
     "OmniglotCNN",
+    "TransformerClassifier",
+    "roberta_large_config",
 ]

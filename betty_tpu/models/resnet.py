@@ -62,6 +62,54 @@ def ResNet32(num_classes: int = 10) -> ResNet:
     return ResNet(stage_sizes=(5, 5, 5), num_classes=num_classes)
 
 
+class BottleneckBlock(nn.Module):
+    filters: int  # bottleneck width; output is 4x
+    strides: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5)
+        conv = partial(nn.Conv, use_bias=False)
+        residual = x
+        y = nn.relu(norm()(conv(self.filters, (1, 1))(x)))
+        y = nn.relu(norm()(conv(self.filters, (3, 3),
+                                (self.strides, self.strides))(y)))
+        y = norm(scale_init=nn.initializers.zeros)(
+            conv(self.filters * 4, (1, 1))(y))
+        if residual.shape != y.shape:
+            residual = norm()(conv(self.filters * 4, (1, 1),
+                                   (self.strides, self.strides))(residual))
+        return nn.relu(y + residual)
+
+
+class ResNetV1(nn.Module):
+    """ImageNet-style ResNet with bottleneck blocks (ResNet-50/101/152)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
+    num_classes: int = 1000
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.width, (7, 7), (2, 2), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            filters = self.width * (2 ** stage)
+            for block in range(n_blocks):
+                strides = 2 if stage > 0 and block == 0 else 1
+                x = BottleneckBlock(filters, strides)(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes)(x)
+
+
+def ResNet50(num_classes: int = 1000) -> ResNetV1:
+    return ResNetV1(stage_sizes=(3, 4, 6, 3), num_classes=num_classes)
+
+
 class WideResNet(nn.Module):
     """WRN-d-k for robust-NAS style evaluations."""
 

@@ -498,12 +498,20 @@ class Problem(abc.ABC):
         (reference ``implicit_problem.py:40-65``)."""
         grads = state["grad_acc"]
 
+        def self_ctx(cur_state):
+            """ctx with this problem's entry refreshed from the live state
+            (params post-update, extra incl. mutated collections)."""
+            new = {k: dict(v) for k, v in ctx.items()}
+            new[self._name] = {
+                "params": cur_state["params"],
+                "extra": cur_state["extra"],
+            }
+            return new
+
         # grad_callback hook (reference problem.py:352-353), traced
         if self.is_implemented("grad_callback"):
             self._trace_grads = grads
-            with _CtxBinding(ctx_replace(
-                {k: dict(v) for k, v in ctx.items()}, self._name, state["params"]
-            ), None, rng):
+            with _CtxBinding(self_ctx(state), None, rng):
                 self.grad_callback()
             grads = self._trace_grads
             self._trace_grads = None
@@ -531,15 +539,14 @@ class Problem(abc.ABC):
             # (reference implicit_problem.py:51-55)
             state["last_grad"] = grads
 
-        # param_callback hook (reference problem.py:359-361), traced
+        # param_callback hook (reference problem.py:359-361), traced; may
+        # mutate params (clamping) and/or extra collections (EMA teachers)
         if self.is_implemented("param_callback"):
             global _TRACE_CTX
-            tmp_ctx = ctx_replace(
-                {k: dict(v) for k, v in ctx.items()}, self._name, new_params
-            )
-            with _CtxBinding(tmp_ctx, None, rng):
+            with _CtxBinding(self_ctx(state), None, rng):
                 self.param_callback()
                 state["params"] = _TRACE_CTX[self._name]["params"]
+                state["extra"] = _TRACE_CTX[self._name]["extra"]
 
         state["grad_acc"] = tree_zeros_like(state["grad_acc"])
         return state

@@ -1,0 +1,192 @@
+"""ImageNet data pruning with an EMA teacher (bilevel reweighting).
+
+Capability port of reference ``examples/imagenet_pruning/main.py``:
+meta-weight-net reweighter <- ResNet-50 student, with an EMA teacher updated
+in ``param_callback`` (reference main.py:325-329) and a two-feature
+meta-weight input [per-example CE loss, teacher-consistency loss]
+(main.py:317-321). Gradient accumulation supported. Synthetic ImageNet-shaped
+data by default; this example is about program shape — swap in an ImageNet
+loader + ``strategy="dp"`` for the 4-chip run in the reference README.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+from betty_tpu.models import MetaWeightNet, ResNetV1
+from betty_tpu.module import from_flax
+
+
+def make_synthetic_imagenet(n, num_classes, size, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, size, size, 3).astype(np.float32)
+    y = rng.randint(0, num_classes, size=n).astype(np.int32)
+    return x, y
+
+
+class Loader:
+    def __init__(self, x, y, batch_size, seed=0):
+        self.x, self.y, self.batch_size, self.seed = x, y, batch_size, seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = rng.permutation(len(self.x))
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            idx = order[i : i + self.batch_size]
+            yield self.x[idx], self.y[idx]
+
+
+class Reweight(ImplicitProblem):
+    def training_step(self, batch):
+        inputs, labels = batch
+        logits = self.classifier(inputs)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        return loss
+
+
+class Classifier(ImplicitProblem):
+    """Student with EMA teacher; the teacher lives in this problem's state
+    ``extra`` so it travels with checkpoints and stays on device."""
+
+    def training_step(self, batch):
+        inputs, labels = batch
+        logits = self.module(inputs)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+
+        teacher_params = self.state_extra_teacher()
+        teacher_logits = self.module_fn.apply(
+            {"params": teacher_params,
+             **{k: v for k, v in self.teacher_stats().items()}},
+            inputs, train=False, mutable=(),
+        )
+        consistency = jnp.sum(
+            (jax.nn.softmax(logits) - jax.nn.softmax(teacher_logits)) ** 2,
+            axis=1,
+        )
+        features = jnp.stack(
+            [jax.lax.stop_gradient(ce), jax.lax.stop_gradient(consistency)],
+            axis=1,
+        )
+        weight = self.reweight(features)
+        return jnp.mean(weight * ce)
+
+    # -- EMA plumbing -----------------------------------------------------
+    def state_extra_teacher(self):
+        from betty_tpu.problems.problem import _TRACE_CTX
+
+        if _TRACE_CTX is not None and self.name in _TRACE_CTX:
+            return _TRACE_CTX[self.name]["extra"]["teacher_params"]
+        return self.state["extra"]["teacher_params"]
+
+    def teacher_stats(self):
+        from betty_tpu.problems.problem import _TRACE_CTX
+
+        if _TRACE_CTX is not None and self.name in _TRACE_CTX:
+            extra = _TRACE_CTX[self.name]["extra"]
+        else:
+            extra = self.state["extra"]
+        return {k: v for k, v in extra.items()
+                if k not in ("teacher_params",)}
+
+    def init_state(self, rng=None):
+        state = super().init_state(rng)
+        # EMA teacher starts as a copy of the student
+        state["extra"] = {**state["extra"],
+                          "teacher_params": state["params"]}
+        return state
+
+    def param_callback(self):
+        # EMA update (reference main.py:325-329), traced inside the jitted
+        # optimizer step via the context binding
+        from betty_tpu.problems.problem import _TRACE_CTX
+
+        decay = self.cfg["ema_decay"]
+        extra = _TRACE_CTX[self.name]["extra"]
+        new_teacher = jax.tree_util.tree_map(
+            lambda t, s: decay * t + (1 - decay) * s,
+            extra["teacher_params"], self.params,
+        )
+        self.set_extra({**extra, "teacher_params": new_teacher})
+
+    def set_extra(self, new_extra):
+        import betty_tpu.problems.problem as pm
+
+        ctx = dict(pm._TRACE_CTX)
+        entry = dict(ctx[self.name])
+        entry["extra"] = new_extra
+        ctx[self.name] = entry
+        pm._TRACE_CTX = ctx
+
+
+def build_engine(args):
+    x_train, y_train = make_synthetic_imagenet(
+        args.train_size, args.num_classes, args.image_size, seed=0)
+    x_meta, y_meta = make_synthetic_imagenet(
+        args.meta_size, args.num_classes, args.image_size, seed=1)
+
+    sample = jnp.zeros(
+        (args.batch_size, args.image_size, args.image_size, 3), jnp.float32)
+    student = from_flax(
+        ResNetV1(stage_sizes=tuple(args.stages), num_classes=args.num_classes,
+                 width=args.width),
+        sample, rng=jax.random.PRNGKey(0), train_kwarg="train",
+    )
+    mwn = from_flax(MetaWeightNet(in_features=2),
+                    jnp.zeros((args.batch_size, 2)),
+                    rng=jax.random.PRNGKey(1), train_kwarg="train")
+
+    reweight = Reweight(
+        name="reweight", module=mwn, optimizer=optim.adam(lr=1e-4),
+        train_data_loader=Loader(x_meta, y_meta, args.batch_size, seed=1),
+        config=Config(type="darts", log_step=args.log_step),
+    )
+    classifier = Classifier(
+        name="classifier", module=student,
+        optimizer=optim.sgd(lr=args.lr, momentum=0.9, weight_decay=1e-4),
+        train_data_loader=Loader(x_train, y_train, args.batch_size, seed=0),
+        config=Config(type="darts", unroll_steps=1,
+                      gradient_accumulation=args.gas,
+                      log_step=args.log_step),
+        extra_config={"ema_decay": args.ema_decay},
+    )
+    return Engine(
+        config=EngineConfig(train_iters=args.train_iters,
+                            strategy=args.strategy),
+        problems=[reweight, classifier],
+        dependencies={"u2l": {reweight: [classifier]},
+                      "l2u": {classifier: [reweight]}},
+    )
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--stages", type=int, nargs="+", default=[3, 4, 6, 3])
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--gas", type=int, default=1)
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--train_size", type=int, default=256)
+    p.add_argument("--meta_size", type=int, default=128)
+    p.add_argument("--train_iters", type=int, default=10)
+    p.add_argument("--strategy", default="default")
+    p.add_argument("--log_step", type=int, default=-1)
+    args = p.parse_args()
+    engine = build_engine(args)
+    engine.run()

@@ -1,0 +1,97 @@
+"""Smoke tests for the second batch of workloads: PPO (env + buffer), 4-level
+SANAS (PGD stage inside jit, multi-path hypergrads), ImageNet pruning (EMA
+teacher in param_callback), install check, and the RL buffer."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+EXAMPLES = Path(__file__).resolve().parents[1] / "examples"
+
+
+def load(name):
+    import importlib.util
+
+    path = EXAMPLES / name / "main.py"
+    spec = importlib.util.spec_from_file_location(f"example2_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"example2_{name}"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ppo_cartpole():
+    mod = load("ppo")
+    args = type("A", (), dict(
+        n_envs=4, horizon=32, train_iters=8, epochs_per_rollout=4, seed=0,
+        log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.actor.count == 8 and engine.critic.count == 8
+    assert engine.env.mean_return > 0
+
+
+def test_sanas_four_level():
+    mod = load("saliency_aware_nas_4_level")
+    args = type("A", (), dict(
+        dim=16, classes=3, n=256, batch=32, lr=0.05, arch_lr=1e-3,
+        budget_lr=1e-3, pgd_steps=2, pgd_lr=0.05, unroll1=2, unroll2=2,
+        train_iters=8, log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.inner1.count == 8
+    assert engine.inner2.count == 4
+    assert engine.outer.count == 2
+    # outer has 3 hypergradient paths (via inner2, via inner1->inner2, direct inner1)
+    assert len(engine.outer.paths) == 3
+
+
+def test_imagenet_pruning_ema():
+    mod = load("imagenet_pruning")
+    args = type("A", (), dict(
+        batch_size=4, image_size=32, num_classes=10, width=8,
+        stages=[1, 1], lr=0.1, gas=2, ema_decay=0.9, train_size=32,
+        meta_size=16, train_iters=4, strategy="default", log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    import jax
+
+    def flat(tree):
+        return np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(tree)]
+        )
+
+    teacher_before = flat(
+        engine.states["classifier"]["extra"]["teacher_params"]
+    )
+    engine.run()
+    teacher_after = flat(
+        engine.states["classifier"]["extra"]["teacher_params"]
+    )
+    # the EMA teacher must have moved (param_callback fired inside jit)
+    assert not np.array_equal(teacher_before, teacher_after)
+
+
+def test_install_smoke():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from betty_tpu.test_install import main
+
+    main(train_iters=2000)
+
+
+def test_experience_buffer():
+    from betty_tpu.rl import ExperienceBuffer
+
+    buf = ExperienceBuffer()
+    for t in range(10):
+        buf.add(obs=np.full((4,), t, np.float32), rew=float(t))
+    assert len(buf) == 10
+    data = buf.stacked()
+    assert data["obs"].shape == (10, 4)
+    batches = list(buf.batches(4, shuffle=True, seed=0))
+    assert len(batches) == 2 and batches[0]["obs"].shape == (4, 4)
+    buf.clear()
+    assert len(buf) == 0
