@@ -69,6 +69,10 @@ class Config:
     cg_iterations: int = 1
     cg_alpha: float = 1.0
 
+    # --- TPU-native extension: run CG/Neumann vector algebra through fused
+    # Pallas kernels over the flattened parameter vector (betty_tpu/ops).
+    use_fused_vector_ops: bool = False
+
 
 @dataclass
 class EngineConfig:

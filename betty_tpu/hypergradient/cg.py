@@ -11,6 +11,7 @@ Bilevel-only, like the reference (assert at ``cg.py:25``).
 """
 
 import jax
+import jax.numpy as jnp
 
 from betty_tpu.utils import neg, tree_axpy, tree_dot, tree_scale, tree_zeros_like
 
@@ -33,22 +34,53 @@ def cg(vector, curr, prev, ctx, states, curr_batch, rng):
     g_fn = jax.grad(in_loss, argnums=0)
     _, vjp_curr = jax.vjp(lambda cp: g_fn(cp, prev0), w0)
 
-    x = tree_zeros_like(vector)
-    r = vector
-    p = vector
-    for _ in range(config.cg_iterations):
-        (hvp,) = vjp_curr(p)
-        numerator = tree_dot(r, r)
-        denominator = alpha_s * tree_dot(hvp, p)
-        ak = numerator / denominator
+    if config.use_fused_vector_ops:
+        x = _cg_loop_fused(vector, vjp_curr, config)
+    else:
+        x = tree_zeros_like(vector)
+        r = vector
+        p = vector
+        for _ in range(config.cg_iterations):
+            (hvp,) = vjp_curr(p)
+            numerator = tree_dot(r, r)
+            denominator = alpha_s * tree_dot(hvp, p)
+            ak = numerator / denominator
 
-        x = tree_axpy(ak, p, x)
-        r_new = tree_axpy(-ak, hvp, r)
-        beta = tree_dot(r_new, r_new) / numerator
-        p = tree_axpy(beta, p, r_new)
-        r = r_new
+            x = tree_axpy(ak, p, x)
+            r_new = tree_axpy(-ak, hvp, r)
+            beta = tree_dot(r_new, r_new) / numerator
+            p = tree_axpy(beta, p, r_new)
+            r = r_new
     x = tree_scale(x, alpha_s)
 
     _, vjp_prev = jax.vjp(lambda pp: g_fn(w0, pp), prev0)
     (cross,) = vjp_prev(x)
     return neg(cross)
+
+
+def _cg_loop_fused(vector, vjp_curr, config):
+    """Same recurrence via fused Pallas vector kernels over the flattened
+    parameter vector (betty_tpu/ops/vector.py). Bitwise-equal math; one
+    memory pass for {x,r,<r',r'>} per iteration instead of several, and one
+    large tiled kernel instead of per-leaf kernels."""
+    from betty_tpu.ops import cg_fused_step, fused_dot2, tree_ravel, tree_unravel
+
+    alpha_s = config.cg_alpha
+    flat_v, _ = tree_ravel(vector)
+    x = jnp.zeros_like(flat_v)
+    r = flat_v
+    p = flat_v
+    rr = None
+    for it in range(config.cg_iterations):
+        (hvp_tree,) = vjp_curr(tree_unravel(vector, p))
+        hvp, _ = tree_ravel(hvp_tree)
+        if rr is None:
+            rr, hp = fused_dot2(r, r, hvp, p)
+        else:
+            _, hp = fused_dot2(hvp, p, hvp, p)
+        ak = rr / (alpha_s * hp)
+        x, r_new, rr_new = cg_fused_step(ak, x, p, r, hvp)
+        beta = rr_new / rr
+        p = r_new + beta * p
+        r, rr = r_new, rr_new
+    return tree_unravel(vector, x)

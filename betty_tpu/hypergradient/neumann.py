@@ -40,13 +40,24 @@ def neumann(vector, curr, prev, ctx, states, curr_batch, rng):
     # H v via VJP of the gradient function w.r.t. curr's params
     _, vjp_curr = jax.vjp(lambda cp: g_fn(cp, prev0), w0)
 
-    v = vector
-    p = vector
-    for _ in range(config.neumann_iterations):
-        (hv,) = vjp_curr(v)
-        v = tree_axpy(-alpha, hv, v)
-        p = tree_add(p, v)
-    v2 = tree_scale(p, alpha)
+    if config.use_fused_vector_ops:
+        from betty_tpu.ops import neumann_fused_step, tree_ravel, tree_unravel
+
+        v_flat, _ = tree_ravel(vector)
+        p_flat = v_flat
+        for _ in range(config.neumann_iterations):
+            (hv_tree,) = vjp_curr(tree_unravel(vector, v_flat))
+            hv_flat, _ = tree_ravel(hv_tree)
+            v_flat, p_flat = neumann_fused_step(alpha, v_flat, hv_flat, p_flat)
+        v2 = tree_unravel(vector, alpha * p_flat)
+    else:
+        v = vector
+        p = vector
+        for _ in range(config.neumann_iterations):
+            (hv,) = vjp_curr(v)
+            v = tree_axpy(-alpha, hv, v)
+            p = tree_add(p, v)
+        v2 = tree_scale(p, alpha)
 
     # cross term: (d g / d prev)^T v2
     _, vjp_prev = jax.vjp(lambda pp: g_fn(w0, pp), prev0)
