@@ -24,7 +24,7 @@ class EncoderBlock(nn.Module):
     def __call__(self, x, mask=None, train: bool = True):
         # pre-LN transformer block
         y = nn.LayerNorm()(x)
-        y = nn.SelfAttention(
+        y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             qkv_features=self.dim,
             dropout_rate=self.dropout,

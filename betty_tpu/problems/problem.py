@@ -233,7 +233,9 @@ class Problem(abc.ABC):
             _TRACE_CTX = ctx_replace(_TRACE_CTX, self._name, new_params)
         else:
             st = dict(self.state)
-            st["params"] = new_params
+            # copy: hooks often assign another problem's params (MAML warm
+            # start); aliased buffers across problems would break donation
+            st["params"] = jax.tree_util.tree_map(jnp.copy, new_params)
             self.state = st
 
     @property
@@ -352,7 +354,13 @@ class Problem(abc.ABC):
                 variables, *args, train=self._training, rngs=rngs,
                 mutable=mutable, **kwargs
             )
-            if _ACTIVE_CAPTURE == self._name:
+            if (
+                _ACTIVE_CAPTURE == self._name
+                and self._name not in _CAPTURED_MUTATIONS
+            ):
+                # first forward wins: running stats update once per step, and
+                # forwards inside nested transforms (jvp/grad regularizers in
+                # the user loss) must not leak their inner tracers out
                 _CAPTURED_MUTATIONS[self._name] = mutated
             return out
         out = self.module_fn.apply(
@@ -555,7 +563,19 @@ class Problem(abc.ABC):
         key = (bool(apply_update), bool(advance_sched))
         if key not in self._update_fns:
             fn = self.build_update_fn(apply_update=key[0], advance_sched=key[1])
-            self._update_fns[key] = jax.jit(fn)
+            # Donate the states dict (halves transient HBM: params, grads and
+            # optimizer moments update in place) — unless some problem holds
+            # references to old state pytrees (roll-back caches, ITD unroll
+            # starts), which donation would invalidate.
+            donate = ()
+            if self._engine is not None and self._engine.config.donate_state:
+                holds_refs = any(
+                    p._roll_back or hasattr(p, "replay_unroll")
+                    for p in self._engine.problems
+                )
+                if not holds_refs:
+                    donate = (0,)
+            self._update_fns[key] = jax.jit(fn, donate_argnums=donate)
         return self._update_fns[key]
 
     # ------------------------------------------------------------------

@@ -104,9 +104,14 @@ class Classifier(ImplicitProblem):
 
     def init_state(self, rng=None):
         state = super().init_state(rng)
-        # EMA teacher starts as a copy of the student
-        state["extra"] = {**state["extra"],
-                          "teacher_params": state["params"]}
+        # EMA teacher starts as a *copy* of the student (distinct buffers:
+        # aliasing would break state donation)
+        state["extra"] = {
+            **state["extra"],
+            "teacher_params": jax.tree_util.tree_map(
+                jnp.copy, state["params"]
+            ),
+        }
         return state
 
     def param_callback(self):

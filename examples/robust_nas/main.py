@@ -1,0 +1,153 @@
+"""Robust NAS (DSRNA-style): DARTS search with robustness regularizers.
+
+Capability port of reference ``examples/robust_nas/`` — bilevel architecture
+search whose inner objective adds input-Jacobian and curvature (Hessian-
+quadratic-form) regularizers (reference ``regularizer.py:16-30``, which uses
+an example-local ``hessianflow`` library). In JAX both regularizers are a
+couple of ``jax.jvp`` calls inside the jitted step — no external Hessian
+library needed.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+from betty_tpu.models.darts import DARTSNetwork, derive_genotype, init_alphas
+from betty_tpu.module import from_flax, from_fn
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "learning_to_reweight"))
+from main import BatchLoader, make_synthetic_cifar  # noqa: E402
+
+
+def ce(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def jacobian_reg(loss_fn, x, rng):
+    """E‖J_x L · u‖² via one JVP with a random direction (finite-sample
+    estimator of the input-Jacobian Frobenius norm)."""
+    u = jax.random.normal(rng, x.shape)
+    u = u / (jnp.sqrt(jnp.sum(u**2)) + 1e-12)
+    _, jvp = jax.jvp(loss_fn, (x,), (u,))
+    return jvp**2
+
+
+def curvature_reg(loss_fn, x, rng, h=1e-2):
+    """Finite-difference curvature along a random direction:
+    ‖∇L(x+hu) − ∇L(x)‖ (DSRNA's Hessian-eigenvalue proxy)."""
+    u = jax.random.normal(rng, x.shape)
+    u = u / (jnp.sqrt(jnp.sum(u**2)) + 1e-12)
+    g0 = jax.grad(loss_fn)(x)
+    g1 = jax.grad(loss_fn)(x + h * u)
+    return jnp.sqrt(jnp.sum((g1 - g0) ** 2)) / h
+
+
+class Arch(ImplicitProblem):
+    def training_step(self, batch):
+        inputs, labels = batch
+        logits = self.classifier.module(inputs, self.params)
+        return ce(logits, labels)
+
+
+class Classifier(ImplicitProblem):
+    def training_step(self, batch):
+        inputs, labels = batch
+        alphas = self.arch.params
+        logits = self.module(inputs, alphas)
+        loss = ce(logits, labels)
+
+        def input_loss(x):
+            return ce(self.module(x, alphas), labels)
+
+        rng = self.rng
+        total = loss
+        # zero-coefficient regularizers are skipped entirely: each one adds a
+        # second-order term to the compiled graph
+        if self.cfg["lambda_j"]:
+            total = total + self.cfg["lambda_j"] * jacobian_reg(
+                input_loss, inputs, rng
+            )
+        if self.cfg["lambda_c"]:
+            total = total + self.cfg["lambda_c"] * curvature_reg(
+                input_loss, inputs, jax.random.fold_in(rng, 1)
+            )
+        return {"loss": total, "ce": loss}
+
+
+def build_engine(args):
+    x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
+    x_val, y_val = make_synthetic_cifar(args.train_size, seed=1)
+
+    sample = jnp.zeros((args.batch_size, 32, 32, 3), jnp.float32)
+    if getattr(args, "arch", "darts") == "mlp":
+        # lightweight backbone for CI smoke: second-order-through-supernet
+        # compile cost is prohibitive on CPU test machines
+        import flax.linen as nn
+
+        class MixMLP(nn.Module):
+            @nn.compact
+            def __call__(self, x, alphas, train=True):
+                # mix two heads with the first normal-cell edge's alphas so
+                # the arch problem stays differentiably coupled
+                w = jax.nn.softmax(alphas["normal"][0, :2])
+                x = x.reshape(x.shape[0], -1)
+                x = nn.relu(nn.Dense(32)(x))
+                return w[0] * nn.Dense(10)(x) + w[1] * nn.Dense(10)(x)
+
+        supernet = from_flax(MixMLP(), sample, init_alphas(),
+                             rng=jax.random.PRNGKey(0), train_kwarg="train")
+    else:
+        net = DARTSNetwork(channels=args.channels, layers=args.layers,
+                           num_classes=10)
+        supernet = from_flax(net, sample, init_alphas(),
+                             rng=jax.random.PRNGKey(0), train_kwarg="train")
+
+    arch = Arch(
+        name="arch",
+        module=from_fn(lambda p: p, init_alphas(jax.random.PRNGKey(1))),
+        optimizer=optim.adam(lr=3e-4, betas=(0.5, 0.999), weight_decay=1e-3),
+        train_data_loader=BatchLoader(x_val, y_val, args.batch_size, seed=1),
+        config=Config(type="darts", log_step=args.log_step),
+    )
+    classifier = Classifier(
+        name="classifier",
+        module=supernet,
+        optimizer=optim.sgd(lr=args.lr, momentum=0.9, weight_decay=3e-4),
+        train_data_loader=BatchLoader(x_train, y_train, args.batch_size,
+                                      seed=0),
+        config=Config(type="darts", unroll_steps=args.unroll_steps,
+                      log_step=args.log_step),
+        extra_config={"lambda_j": args.lambda_j, "lambda_c": args.lambda_c},
+    )
+    return Engine(
+        config=EngineConfig(train_iters=args.train_iters),
+        problems=[arch, classifier],
+        dependencies={"u2l": {arch: [classifier]},
+                      "l2u": {classifier: [arch]}},
+    )
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--channels", type=int, default=16)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.025)
+    p.add_argument("--unroll_steps", type=int, default=1)
+    p.add_argument("--lambda_j", type=float, default=0.1)
+    p.add_argument("--lambda_c", type=float, default=0.01)
+    p.add_argument("--train_size", type=int, default=1024)
+    p.add_argument("--train_iters", type=int, default=100)
+    p.add_argument("--log_step", type=int, default=-1)
+    args = p.parse_args()
+    engine = build_engine(args)
+    engine.run()
+    print("genotype:", derive_genotype(engine.arch.params))

@@ -95,3 +95,29 @@ def test_experience_buffer():
     assert len(batches) == 2 and batches[0]["obs"].shape == (4, 4)
     buf.clear()
     assert len(buf) == 0
+
+
+def test_robust_nas():
+    mod = load("robust_nas")
+    args = type("A", (), dict(
+        batch_size=4, channels=2, layers=1, lr=0.025, unroll_steps=1,
+        lambda_j=0.1, lambda_c=0.01, train_size=16, train_iters=2,
+        log_step=-1, arch="mlp",
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.classifier.count == 2 and engine.arch.count == 2
+
+
+def test_iuc_three_level():
+    mod = load("nas_augmented_image_captioning_3_level")
+    args = type("A", (), dict(
+        n=128, batch=16, seq_len=8, vocab=64, classes=4, dim=32, depth=1,
+        heads=2, unroll1=2, unroll2=2, train_iters=8, log_step=-1,
+    ))
+    engine = mod.build_engine(args)
+    engine.run()
+    assert engine.inner1.count == 8
+    assert engine.inner2.count == 4
+    assert engine.outer.count == 2
+    assert len(engine.outer.paths) == 3
