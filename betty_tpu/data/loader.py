@@ -1,0 +1,105 @@
+"""Host-side data loading utilities.
+
+TPU-native counterpart of reference ``betty/patch/data_loader.py``: instead
+of wrapping torch DataLoaders in a rank-aware batch sampler, betty_tpu
+problems accept any iterable; these helpers provide
+
+* :class:`ArrayLoader` — epoch-seeded shuffled minibatches over in-memory
+  arrays (deterministic across hosts given the seed, the property the
+  reference's ``DistributedDataLoader`` epoch-seeded generator provides);
+* :func:`shard_loader` — per-host example sharding for multi-host meshes
+  (each process loads its slice; combine with
+  ``betty_tpu.parallel.make_global_batch``);
+* :func:`prefetch_to_device` — a double-buffered iterator that overlaps
+  host->device transfer with device compute.
+"""
+
+import collections
+import itertools
+from typing import Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class ArrayLoader:
+    """Shuffled minibatches over array pytrees with epoch-seeded RNG.
+
+    ``set_epoch`` (called automatically by ``Problem.get_batch_single_loader``
+    on epoch rollover) reseeds the shuffle, matching the reference's
+    ``DistributedDataLoader.set_epoch`` semantics."""
+
+    def __init__(self, *arrays, batch_size: int, seed: int = 0,
+                 drop_last: bool = True, shuffle: bool = True):
+        assert arrays, "ArrayLoader needs at least one array"
+        n = len(arrays[0])
+        assert all(len(a) == n for a in arrays)
+        self.arrays = arrays
+        self.n = n
+        self.batch_size = batch_size
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self):
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(self.n)
+        else:
+            order = np.arange(self.n)
+        end = self.n - self.batch_size + 1 if self.drop_last else self.n
+        for i in range(0, end, self.batch_size):
+            idx = order[i : i + self.batch_size]
+            batch = tuple(a[idx] for a in self.arrays)
+            yield batch[0] if len(batch) == 1 else batch
+
+
+def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None) -> ArrayLoader:
+    """Per-host example sharding: process i keeps examples i::N
+    (counterpart of the reference's rank-round-robin
+    ``DistributedBatchSampler``, ``betty/patch/data_loader.py:7-61``)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    arrays = tuple(a[process_index::process_count] for a in loader.arrays)
+    return ArrayLoader(
+        *arrays, batch_size=loader.batch_size // 1, seed=loader.seed,
+        drop_last=loader.drop_last, shuffle=loader.shuffle,
+    )
+
+
+def prefetch_to_device(iterator: Iterable, size: int = 2,
+                       sharding=None) -> Iterator:
+    """Double-buffered device prefetch: keeps ``size`` batches in flight so
+    host->device transfer overlaps device compute (jax transfers are async;
+    this just keeps the pipeline primed)."""
+
+    queue = collections.deque()
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding) if sharding is not None
+            else jax.device_put(x),
+            batch,
+        )
+
+    it = iter(iterator)
+    for batch in itertools.islice(it, size):
+        queue.append(put(batch))
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass

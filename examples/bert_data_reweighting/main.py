@@ -44,22 +44,12 @@ def make_synthetic_sst2(n, seq_len, vocab, seed=0, imbalance=10):
     return ids, labels
 
 
-class TokenLoader:
+from betty_tpu.data import ArrayLoader
+
+
+class TokenLoader(ArrayLoader):
     def __init__(self, x, y, batch_size, seed=0):
-        self.x, self.y = x, y
-        self.batch_size = batch_size
-        self.seed = seed
-        self.epoch = 0
-
-    def set_epoch(self, epoch):
-        self.epoch = epoch
-
-    def __iter__(self):
-        rng = np.random.RandomState(self.seed + self.epoch)
-        order = rng.permutation(len(self.x))
-        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-            idx = order[i : i + self.batch_size]
-            yield self.x[idx], self.y[idx]
+        super().__init__(x, y, batch_size=batch_size, seed=seed)
 
 
 class Reweight(ImplicitProblem):

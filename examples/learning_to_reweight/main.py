@@ -31,26 +31,16 @@ def make_synthetic_cifar(n, num_classes=10, seed=0, image=(32, 32, 3)):
     return x, y
 
 
-class BatchLoader:
-    """Epoch-cycling minibatch loader over in-memory arrays with
-    deterministic per-epoch shuffling (counterpart of the reference's
-    epoch-seeded DistributedDataLoader, ``betty/patch/data_loader.py:64-82``)."""
+from betty_tpu.data import ArrayLoader
+
+
+class BatchLoader(ArrayLoader):
+    """Epoch-seeded minibatch loader (betty_tpu.data.ArrayLoader with the
+    (x, y) convenience signature used across the examples)."""
 
     def __init__(self, x, y, batch_size, seed=0, drop_last=True):
-        self.x, self.y = x, y
-        self.batch_size = batch_size
-        self.seed = seed
-        self.epoch = 0
-
-    def set_epoch(self, epoch):
-        self.epoch = epoch
-
-    def __iter__(self):
-        rng = np.random.RandomState(self.seed + self.epoch)
-        order = rng.permutation(len(self.x))
-        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-            idx = order[i : i + self.batch_size]
-            yield self.x[idx], self.y[idx]
+        super().__init__(x, y, batch_size=batch_size, seed=seed,
+                         drop_last=drop_last)
 
 
 class Reweight(ImplicitProblem):

@@ -28,20 +28,12 @@ def make_imbalanced_mnist(n=2048, imbalance=20, seed=0):
     return x.astype(np.float32), y.astype(np.int32)
 
 
-class Loader:
+from betty_tpu.data import ArrayLoader
+
+
+class Loader(ArrayLoader):
     def __init__(self, x, y, batch_size, seed=0):
-        self.x, self.y, self.batch_size, self.seed = x, y, batch_size, seed
-        self.epoch = 0
-
-    def set_epoch(self, epoch):
-        self.epoch = epoch
-
-    def __iter__(self):
-        rng = np.random.RandomState(self.seed + self.epoch)
-        order = rng.permutation(len(self.x))
-        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-            idx = order[i : i + self.batch_size]
-            yield self.x[idx], self.y[idx]
+        super().__init__(x, y, batch_size=batch_size, seed=seed)
 
 
 class Reweight(ImplicitProblem):
