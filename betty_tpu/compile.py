@@ -18,8 +18,10 @@ Numerics match driver mode (same update functions, same
 per-step RNG folding, up to XLA fusion reassociation) — asserted in
 tests/test_compile.py.
 
-Current restrictions (driver mode remains fully general): no
-IterativeProblem, warmup_steps must be 0, and hooks must be jnp-traceable.
+Warmup phases run in driver mode until the schedule reaches its steady
+state (Engine.run_compiled); IterativeProblem unrolls are replayed from
+block-locally tracked start states and batches. Remaining restriction:
+hooks must be jnp-traceable (host-side side effects need driver mode).
 """
 
 from dataclasses import dataclass, field
@@ -212,16 +214,9 @@ class BlockRunner:
         self.scan_periods = max(1, int(scan_periods))
         self.problems = {p.name: p for p in engine.problems}
 
-        for p in engine.problems:
-            assert not hasattr(p, "replay_unroll"), (
-                "compile_blocks does not support IterativeProblem yet; "
-                "use driver mode"
-            )
-            assert p.warmup_steps == 0, (
-                "compile_blocks requires warmup_steps == 0; use driver mode"
-            )
-
-        self.events, self.period = _Simulator(engine).run()
+        sim = _Simulator(engine)
+        self.initial_phase = sim.phase()
+        self.events, self.period = sim.run()
         self.segments = compress(self.events, self.problems)
         self.steps_per_problem: Dict[str, int] = {}
         for ev in self.events:
@@ -237,7 +232,13 @@ class BlockRunner:
             )
             for name in self.problems
         }
-        donate = (0,) if engine.config.donate_state else ()
+        donate = ()
+        if engine.config.donate_state and not any(
+            hasattr(p, "replay_unroll") for p in engine.problems
+        ):
+            # (ITD problems may hold host references to pre-unroll states
+            # captured during warmup/remainder driver phases)
+            donate = (0,)
         self._jit_block = jax.jit(self._block, donate_argnums=donate)
 
     # -- host side -------------------------------------------------------
@@ -348,10 +349,49 @@ class BlockRunner:
         last_loss = jax.tree_util.tree_map(lambda x: x[-1], losses)
         return states, last_loss
 
+    def live_phase(self):
+        """Current host phase of the engine's problems (for warmup
+        alignment: driver mode runs until this matches the simulator's
+        steady-state initial phase)."""
+        return tuple(
+            (
+                s_count % (p._unroll_steps * p.gas),
+                p._inner_loop_start,
+                tuple(p.ready),
+            )
+            for name, p in sorted(self.problems.items())
+            for s_count in (p._count,)
+        )
+
     def _one_period(self, states, seg_batches, counts0):
         cur_batches = {}
         cache = {}
         last_loss = {}
+        # ITD bookkeeping: per IterativeProblem child, the unroll start state
+        # and batches consumed since, assembled into the parent's itd_data
+        itd_start = {}
+        itd_batches = {}
+        itd_names = {
+            name
+            for name, p in self.problems.items()
+            if hasattr(p, "replay_unroll") and not p._first_order
+        }
+
+        def collect_itd(name):
+            parts = itd_batches[name]
+            if len(parts) == 1:
+                batches = parts[0]
+            else:
+                batches = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *parts
+                )
+            start = itd_start[name]
+            return {
+                "start_params": start["params"],
+                "start_opt_state": start["opt_state"],
+                "start_sched_step": start["sched_step"],
+                "batches": batches,
+            }
 
         for seg, seg_batch in zip(self.segments, seg_batches):
             p = self.problems[seg.name]
@@ -382,6 +422,8 @@ class BlockRunner:
                 last_loss[seg.name] = jax.tree_util.tree_map(
                     lambda x: x[-1], losses
                 )
+                if seg.name in itd_names:
+                    itd_batches.setdefault(seg.name, []).append(seg_batch)
                 continue
 
             ev = seg.events[0]
@@ -390,6 +432,11 @@ class BlockRunner:
                 states = self._run_inner_loop_start(p, states)
                 if p._roll_back:
                     cache[p.name] = states[p.name]
+                if seg.name in itd_names:
+                    # differentiation starting point for the ITD replay
+                    # (captured after the hook, like the eager driver)
+                    itd_start[seg.name] = states[seg.name]
+                    itd_batches[seg.name] = []
 
             if ev.rollback_recover:
                 states = {**states, p.name: cache[p.name]}
@@ -399,15 +446,24 @@ class BlockRunner:
             else:
                 batch = seg_batch
                 cur_batches[p.name] = batch
+                if seg.name in itd_names and not ev.rollback_recover:
+                    itd_batches.setdefault(seg.name, []).append(
+                        jax.tree_util.tree_map(lambda x: x[None], batch)
+                    )
 
             path_batches = {
                 q.name: cur_batches[q.name] for q in p._path_intermediates()
+            }
+            itd_data = {
+                c.name: collect_itd(c.name)
+                for c in p.children
+                if c.name in itd_names
             }
             rng = jax.random.fold_in(base_key, counts0[p.name] + ev.count_offset)
             upd = p.build_update_fn(
                 apply_update=ev.apply_update, advance_sched=ev.advance_sched
             )
-            states, loss = upd(states, batch, path_batches, {}, rng)
+            states, loss = upd(states, batch, path_batches, itd_data, rng)
             last_loss[p.name] = loss
 
         return states, last_loss

@@ -265,6 +265,20 @@ class Engine:
             jax.profiler.start_trace(self.config.profile_dir)
         try:
             it = 0
+
+            # warmup phase: drive in (fully general) driver mode until every
+            # problem is past its warmup and the schedule phase matches the
+            # simulator's steady state, then switch to compiled blocks
+            def steady():
+                return runner.live_phase() == runner.initial_phase and all(
+                    p.warmup_steps == 0 or p._count > p.warmup_steps
+                    for p in self.problems
+                )
+
+            while it < self.train_iters and not steady():
+                it += 1
+                self.global_step += 1
+                self.train_step()
             while it + period <= self.train_iters:
                 last_loss = runner.run_block()
                 it += period

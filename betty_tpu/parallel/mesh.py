@@ -70,8 +70,15 @@ def _shard_leaf_spec(x, axis_name: str, axis_size: int, min_size: int) -> P:
     return P()
 
 
-def fsdp_shardings(tree, mesh: Mesh, axis: str = "dp", min_size: int = 2**14):
-    """Per-leaf NamedShardings sharding each large tensor over ``axis``."""
+def fsdp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
+                   min_size: int = 2**14):
+    """Per-leaf NamedShardings sharding each large tensor over ``axis``.
+
+    Default axis: ``"mdl"`` if the mesh has one (2-D dp x mdl layouts shard
+    parameters over the model axis while the batch rides ``dp``), else
+    ``"dp"``."""
+    if axis is None:
+        axis = "mdl" if "mdl" in mesh.shape else "dp"
     axis_size = mesh.shape[axis]
     return jax.tree_util.tree_map(
         lambda x: NamedSharding(

@@ -176,8 +176,10 @@ class Problem(abc.ABC):
         # compiled update cache: (apply_update, has_hyper) -> jitted fn
         self._update_fns: Dict[Any, Callable] = {}
 
-        # rng
-        self._rng_seed = 0
+        # rng: per-problem stream, derived stably from the problem name
+        import zlib
+
+        self._rng_seed = zlib.crc32(name.encode()) & 0x7FFFFFFF
 
     # ------------------------------------------------------------------
     # basic properties

@@ -65,3 +65,66 @@ def test_block_regression_gate():
     engine, outer, inner = run(True, iters=2000,
                                config=Config(unroll_steps=100))
     assert final_outer_loss(engine, outer) < 0.48
+
+
+def test_block_warmup_driver_handoff():
+    """warmup_steps>0: driver mode runs until steady state, then blocks."""
+    e1, o1, i1 = run(False, iters=30, config=Config(unroll_steps=2,
+                                                    warmup_steps=5))
+    e2, o2, i2 = run(True, iters=30, config=Config(unroll_steps=2,
+                                                   warmup_steps=5))
+    assert i1.count == i2.count == 30
+    assert o1.count == o2.count
+    w1 = np.asarray(e1.states["inner"]["params"]["w"])
+    w2 = np.asarray(e2.states["inner"]["params"]["w"])
+    assert np.max(np.abs(w1 - w2)) < 1e-6
+
+
+def test_block_itd_maml():
+    """IterativeProblem (MAML) under compiled blocks matches driver mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, EngineConfig, ImplicitProblem, IterativeProblem, optim
+    from betty_tpu.module import from_fn
+
+    D, STEPS = 4, 3
+    rng = np.random.RandomState(5)
+    T_IN = rng.randn(D).astype(np.float32)
+    T_OUT = rng.randn(D).astype(np.float32)
+    TH0 = rng.randn(D).astype(np.float32)
+
+    class Meta(ImplicitProblem):
+        def training_step(self, batch):
+            return 0.5 * jnp.sum((self.adapt.params["w"] - batch) ** 2)
+
+    class Adapt(IterativeProblem):
+        def training_step(self, batch):
+            return 0.5 * jnp.sum((self.module() - batch) ** 2)
+
+        def on_inner_loop_start(self):
+            self.set_params({"w": self.meta.params["w"]})
+
+        def unroll_init(self, start_params):
+            return {"w": self.meta.params["w"]}
+
+    def build(compile_blocks):
+        meta = Meta("meta", module=from_fn(lambda p: p["w"], {"w": jnp.asarray(TH0)}),
+                    optimizer=optim.sgd(lr=0.5),
+                    train_data_loader=[jnp.asarray(T_OUT)],
+                    config=Config(first_order=False))
+        adapt = Adapt("adapt", module=from_fn(lambda p: p["w"], {"w": jnp.zeros(D)}),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=[jnp.asarray(T_IN)],
+                      config=Config(unroll_steps=STEPS))
+        eng = Engine(config=EngineConfig(train_iters=2 * STEPS,
+                                         compile_blocks=compile_blocks),
+                     problems=[meta, adapt],
+                     dependencies={"u2l": {meta: [adapt]},
+                                   "l2u": {adapt: [meta]}})
+        eng.run()
+        return np.asarray(eng.states["meta"]["params"]["w"])
+
+    w_driver = build(False)
+    w_block = build(True)
+    assert np.max(np.abs(w_driver - w_block)) < 1e-6, (w_driver, w_block)
