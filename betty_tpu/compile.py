@@ -249,6 +249,12 @@ class BlockRunner:
         the host->device round-trip once per inner step)."""
         import numpy as np
 
+        def stack(*xs):
+            # device-resident batches stack on device; host batches on host
+            if isinstance(xs[0], jax.Array):
+                return jnp.stack(xs)
+            return np.stack(xs)
+
         seg_batches = []
         for seg in self.segments:
             p = self.problems[seg.name]
@@ -257,7 +263,7 @@ class BlockRunner:
                 if seg.is_scan:
                     batches = [p.get_batch() for _ in seg.events]
                     stacked = jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs), *batches
+                        lambda *xs: stack(*xs), *batches
                     )
                     seg_batches.append(stacked)
                     p.cur_batch = batches[-1]
@@ -283,7 +289,11 @@ class BlockRunner:
                 out.append(None)
                 continue
             if mesh is None:
-                out.append(jax.device_put(batch))
+                out.append(jax.tree_util.tree_map(
+                    lambda x: x if isinstance(x, jax.Array)
+                    else jax.device_put(x),
+                    batch,
+                ))
                 continue
 
             def put(x, _lead=lead):
@@ -304,11 +314,16 @@ class BlockRunner:
             seg_batches = per_period[0]
         else:
             # stack each segment's batches across periods (leading axis K)
+            def stack(*xs):
+                if isinstance(xs[0], jax.Array):
+                    return jnp.stack(xs)
+                return np.stack(xs)
+
             seg_batches = [
                 None
                 if per_period[0][i] is None
                 else jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs),
+                    lambda *xs: stack(*xs),
                     *[per_period[k][i] for k in range(K)],
                 )
                 for i in range(len(self.segments))

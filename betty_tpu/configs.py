@@ -109,8 +109,11 @@ class EngineConfig:
     # Schedule periods per dispatch in compiled-block mode; 0 = auto
     # (bounded by valid_step and a staging-memory cap).
     block_periods: int = 0
-    # Donate state buffers to jitted updates (in-place on device; saves HBM).
-    donate_state: bool = True
+    # Donate state buffers to jitted updates (in-place on device; halves
+    # transient HBM for large models). Default off: donation costs ~3x per
+    # dispatch through proxied/tunneled TPU runtimes (e.g. axon); turn on
+    # for direct-attached TPUs when HBM-bound.
+    donate_state: bool = False
     # jax.profiler trace directory; None disables.
     profile_dir: Optional[str] = None
     # checkpointing

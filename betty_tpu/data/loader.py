@@ -30,11 +30,19 @@ class ArrayLoader:
     ``DistributedDataLoader.set_epoch`` semantics."""
 
     def __init__(self, *arrays, batch_size: int, seed: int = 0,
-                 drop_last: bool = True, shuffle: bool = True):
+                 drop_last: bool = True, shuffle: bool = True,
+                 device: bool = False):
         assert arrays, "ArrayLoader needs at least one array"
         n = len(arrays[0])
         assert all(len(a) == n for a in arrays)
+        if device:
+            # dataset-resident-on-HBM mode: one upfront transfer, per-batch
+            # slicing happens as device gathers. The fast path on proxied /
+            # tunneled TPU runtimes where recurring host->device transfers
+            # are expensive (and a good pattern for any dataset that fits).
+            arrays = tuple(jax.device_put(np.asarray(a)) for a in arrays)
         self.arrays = arrays
+        self.device = device
         self.n = n
         self.batch_size = batch_size
         self.seed = seed

@@ -702,9 +702,13 @@ class Problem(abc.ABC):
         import numpy as np
 
         if getattr(self, "_batch_to_host", False):
-            # block-mode staging: keep batches on the host so the runner can
-            # stack a whole block and ship it in one transfer
+            # block-mode staging: keep host batches on the host (the runner
+            # stacks a whole block and ships it in one transfer); batches
+            # that are ALREADY device-resident (ArrayLoader(device=True))
+            # stay on device — downloading them would defeat the point
             def put(x):
+                if isinstance(x, jax.Array):
+                    return x
                 return np.asarray(x)
         else:
             def put(x):

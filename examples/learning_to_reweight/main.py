@@ -38,9 +38,10 @@ class BatchLoader(ArrayLoader):
     """Epoch-seeded minibatch loader (betty_tpu.data.ArrayLoader with the
     (x, y) convenience signature used across the examples)."""
 
-    def __init__(self, x, y, batch_size, seed=0, drop_last=True):
+    def __init__(self, x, y, batch_size, seed=0, drop_last=True,
+                 device=False):
         super().__init__(x, y, batch_size=batch_size, seed=seed,
-                         drop_last=drop_last)
+                         drop_last=drop_last, device=device)
 
 
 class Reweight(ImplicitProblem):
@@ -67,8 +68,10 @@ def build_engine(args):
     x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
     x_meta, y_meta = make_synthetic_cifar(args.meta_size, seed=1)
 
-    train_loader = BatchLoader(x_train, y_train, args.batch_size, seed=0)
-    meta_loader = BatchLoader(x_meta, y_meta, args.batch_size, seed=1)
+    train_loader = BatchLoader(x_train, y_train, args.batch_size, seed=0,
+                               device=args.device_data)
+    meta_loader = BatchLoader(x_meta, y_meta, args.batch_size, seed=1,
+                              device=args.device_data)
 
     sample = jnp.zeros((args.batch_size, 32, 32, 3), jnp.float32)
     classifier_mod = from_flax(
@@ -136,6 +139,9 @@ def parse_args(argv=None):
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--lr_schedule", action="store_true")
+    # keep the dataset resident in HBM (one upfront transfer; batches are
+    # device-side gathers) - the fast path on tunneled TPU runtimes
+    p.add_argument("--device_data", action="store_true")
     return p.parse_args(argv)
 
 
