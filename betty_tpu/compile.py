@@ -83,12 +83,9 @@ class _Simulator:
 
     def run(self):
         initial = self.phase()
-        per_iter_events: List[List[Event]] = []
         for it in range(self.MAX_ITERS):
-            start = len(self.events)
             for leaf in self.engine.leaves:
                 self.sim_step(leaf)
-            per_iter_events.append(self.events[start:])
             if self.phase() == initial:
                 return self.events, it + 1
         raise RuntimeError(
@@ -218,13 +215,7 @@ class BlockRunner:
         self.initial_phase = sim.phase()
         self.events, self.period = sim.run()
         self.segments = compress(self.events, self.problems)
-        self.steps_per_problem: Dict[str, int] = {}
-        for ev in self.events:
-            if not ev.reuse_batch:
-                self.steps_per_problem[ev.name] = (
-                    self.steps_per_problem.get(ev.name, 0) + 1
-                )
-        # count advancement per period (incl. nothing for rollback re-steps)
+        # count advancement per period (rollback re-steps do not advance)
         self.count_delta = {
             name: max(
                 (e.count_offset for e in self.events if e.name == name),
@@ -496,7 +487,9 @@ class BlockRunner:
         with _CtxBinding(ctx, None, None):
             p.on_inner_loop_start()
             new_params = problem_mod._TRACE_CTX[p.name]["params"]
+            new_extra = problem_mod._TRACE_CTX[p.name]["extra"]
         return {
             **states,
-            p.name: {**states[p.name], "params": new_params},
+            p.name: {**states[p.name], "params": new_params,
+                     "extra": new_extra},
         }

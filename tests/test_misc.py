@@ -1,0 +1,72 @@
+"""Auxiliary subsystems: profiler traces, loggers, utils, dependency reset."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from betty_tpu import Config, EngineConfig
+from betty_tpu.misc.early_stopping import EarlyStopping
+from betty_tpu import utils
+
+from fixtures import make_engine
+
+
+def test_profiler_trace_written(tmp_path):
+    engine, outer, inner = make_engine(
+        Config(unroll_steps=2),
+        EngineConfig(train_iters=4, profile_dir=str(tmp_path)),
+    )
+    engine.run()
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(tmp_path)
+        for f in fs
+    ]
+    assert files, "no profiler trace written"
+
+
+def test_early_stopping_modes():
+    es = EarlyStopping(metric="acc", mode="max", tolerance=2)
+    assert not es({"acc": 0.5})
+    assert not es({"acc": 0.6})
+    assert not es({"acc": 0.55})
+    assert es({"acc": 0.55})  # second non-improvement -> stop
+    es2 = EarlyStopping(metric="loss", mode="min", tolerance=1)
+    assert not es2({"loss": 1.0})
+    assert es2({"loss": 2.0})
+
+
+def test_utils_clip_matches_torch_semantics():
+    import torch
+
+    g = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    t = torch.nn.Parameter(torch.as_tensor(g.copy()))
+    t.grad = torch.as_tensor(g.copy())
+    torch.nn.utils.clip_grad_norm_([t], max_norm=1.0)
+    got = np.asarray(utils.clip_by_global_norm({"g": jnp.asarray(g)}, 1.0)["g"])
+    assert np.max(np.abs(got - t.grad.numpy())) < 1e-6
+
+
+def test_to_vec_and_norms():
+    tree = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.zeros(2)}
+    assert float(utils.tree_norm(tree)) == 5.0
+    v = utils.to_vec(tree, alpha=2.0)
+    assert v.shape == (4,) and float(v[0]) == 6.0
+    assert utils.count_parameters(tree) == 4
+
+
+def test_set_dependency_reset():
+    engine, outer, inner = make_engine(
+        Config(unroll_steps=2), EngineConfig(train_iters=2)
+    )
+    engine.run()
+    engine.set_dependency(
+        {"u2l": {outer: [inner]}, "l2u": {inner: [outer]}}
+    )
+    assert engine.leaves == [inner]
+    assert [[q.name for q in p] for p in outer.paths] == [
+        ["outer", "inner", "outer"]
+    ]
+    engine.train_iters = 2
+    engine.run()  # still trains after a dependency reset
