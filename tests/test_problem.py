@@ -145,3 +145,62 @@ def test_callbacks_fire():
     assert calls["grad"] >= 1
     # single-batch loader -> epoch rolls over every step after the first
     assert calls["epoch"] >= 1
+
+
+def test_multi_loader_tuple():
+    """A tuple of data loaders delivers a tuple of batches (reference
+    problem.py:456-467 wrapping rule: tuple = multiple loaders)."""
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, EngineConfig, ImplicitProblem, optim
+    from betty_tpu.module import from_fn
+    from fixtures import make_data
+
+    train, valid = make_data()
+    seen = {}
+
+    class TwoLoader(ImplicitProblem):
+        def training_step(self, batch):
+            (x1, y1), (x2, y2) = batch  # tuple of batches
+            seen["shapes"] = (x1.shape, x2.shape)
+            w = self.module()
+            return ((x1 @ w - y1) ** 2).mean() + ((x2 @ w - y2) ** 2).mean()
+
+    p = TwoLoader(
+        "solo",
+        module=from_fn(lambda pr: pr["w"], {"w": jnp.zeros(20)}),
+        optimizer=optim.sgd(lr=0.01),
+        train_data_loader=([train], [valid]),  # tuple => two loaders
+        config=Config(),
+    )
+    engine = Engine(config=EngineConfig(train_iters=2), problems=[p],
+                    dependencies={"u2l": {}, "l2u": {}})
+    engine.run()
+    assert p.count == 2
+    assert seen["shapes"][0] == (500, 20) and seen["shapes"][1] == (500, 20)
+
+
+def test_penalty_problem():
+    """PenaltyProblem trains like ImplicitProblem minus SAMA state."""
+    from betty_tpu import Engine, EngineConfig, optim
+    from betty_tpu.problems import PenaltyProblem
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data()
+
+    class PInner(PenaltyProblem, Inner):
+        pass
+
+    outer = Outer("outer", module=parent_module(),
+                  optimizer=optim.sgd(lr=1.0), train_data_loader=[valid],
+                  config=Config())
+    inner = PInner("inner", module=child_module(),
+                   optimizer=optim.sgd(lr=0.1), train_data_loader=[train],
+                   config=Config(unroll_steps=5))
+    engine = Engine(config=EngineConfig(train_iters=10),
+                    problems=[outer, inner],
+                    dependencies={"u2l": {outer: [inner]},
+                                  "l2u": {inner: [outer]}})
+    engine.run()
+    assert "last_grad" not in engine.states["inner"]
+    assert inner.count == 10 and outer.count == 2
