@@ -67,8 +67,12 @@ def restore_engine_state(engine, path: str):
             treedef, [data[jax.tree_util.keystr(k)] for k, _ in flat]
         )
     for name, st in restored.items():
+        # preserve each leaf's sharding (ZeRO/FSDP layouts must survive
+        # resume or a model that only fits sharded will OOM replicated)
         engine.states[name] = jax.tree_util.tree_map(
-            lambda new, cur: jax.numpy.asarray(new, dtype=cur.dtype),
+            lambda new, cur: jax.device_put(
+                jax.numpy.asarray(new, dtype=cur.dtype), cur.sharding
+            ),
             st,
             engine.states[name],
         )

@@ -80,10 +80,13 @@ def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,
         process_index = jax.process_index()
     if process_count is None:
         process_count = jax.process_count()
-    arrays = tuple(a[process_index::process_count] for a in loader.arrays)
+    arrays = tuple(
+        np.asarray(a)[process_index::process_count] for a in loader.arrays
+    )
     return ArrayLoader(
-        *arrays, batch_size=loader.batch_size // 1, seed=loader.seed,
+        *arrays, batch_size=loader.batch_size, seed=loader.seed,
         drop_last=loader.drop_last, shuffle=loader.shuffle,
+        device=loader.device,
     )
 
 

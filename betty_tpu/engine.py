@@ -185,6 +185,14 @@ class Engine:
             problem.leaf = False
             problem.clear_dependencies()
         self.parse_dependency()
+        # re-derive the graph-dependent problem state: child-readiness masks,
+        # parents' first_order AND, roll-back eligibility
+        for problem in self.problems:
+            problem.ready = [False] * len(problem.children)
+            fo = [p.config.first_order for p in problem.parents]
+            problem._first_order = all(fo) if fo else False
+            problem._roll_back = self._roll_back and len(problem.parents) > 0
+            problem._inner_loop_start = True
 
     def set_problem_attr(self, problem) -> str:
         """Name-attribute injection (reference engine.py:303-328): every
@@ -265,36 +273,16 @@ class Engine:
             jax.profiler.start_trace(self.config.profile_dir)
         try:
             it = 0
+            stopped = False
 
-            # warmup phase: drive in (fully general) driver mode until every
-            # problem is past its warmup and the schedule phase matches the
-            # simulator's steady state, then switch to compiled blocks
-            def steady():
-                return runner.live_phase() == runner.initial_phase and all(
-                    p.warmup_steps == 0 or p._count > p.warmup_steps
-                    for p in self.problems
-                )
-
-            while it < self.train_iters and not steady():
-                it += 1
-                self.global_step += 1
-                self.train_step()
-            while it + period <= self.train_iters:
-                last_loss = runner.run_block()
-                it += period
-                self.global_step += period
-
-                for p in self.problems:
-                    if (
-                        p.log_step > 0
-                        and p.name in last_loss
-                        and self.is_rank_zero()
-                    ):
-                        p.log(last_loss[p.name], self.global_step)
-
-                if (
-                    self.global_step % self.valid_step
-                ) < period and self.do_validation():
+            def maybe_validate_checkpoint(window: int) -> bool:
+                """Validation / checkpointing on the driver cadence; a window
+                of W means global_step just advanced by W iterations and any
+                multiple of valid_step inside it triggers. Returns True when
+                early stopping fires."""
+                stop = False
+                if (self.global_step % self.valid_step) < window and \
+                        self.do_validation():
                     self.eval()
                     validation_stats = self.validation() or {}
                     self.logger.info(
@@ -309,19 +297,58 @@ class Engine:
                     if self.early_stopping is not None:
                         if self.early_stopping(validation_stats):
                             self.logger.info("Early stopping is executed!")
-                            break
-
+                            stop = True
                 if (
                     self.config.checkpoint_step > 0
                     and self.config.checkpoint_dir is not None
-                    and (self.global_step % self.config.checkpoint_step) < period
+                    and (self.global_step % self.config.checkpoint_step)
+                    < window
                 ):
                     self.save_checkpoint(self.config.checkpoint_dir)
+                return stop
 
-            # remainder iterations fall back to the (equivalent-numerics) driver
-            for _ in range(self.train_iters - it):
+            # warmup phase: drive in (fully general) driver mode until every
+            # problem is past its warmup and the schedule phase matches the
+            # simulator's steady state, then switch to compiled blocks
+            def steady():
+                return runner.live_phase() == runner.initial_phase and all(
+                    p.warmup_steps == 0 or p._count > p.warmup_steps
+                    for p in self.problems
+                )
+
+            while it < self.train_iters and not steady():
+                it += 1
                 self.global_step += 1
                 self.train_step()
+                if maybe_validate_checkpoint(1):
+                    stopped = True
+                    break
+
+            while not stopped and it + period <= self.train_iters:
+                last_loss = runner.run_block()
+                it += period
+                self.global_step += period
+
+                for p in self.problems:
+                    if (
+                        p.log_step > 0
+                        and p.name in last_loss
+                        and self.is_rank_zero()
+                    ):
+                        p.log(last_loss[p.name], self.global_step)
+
+                if maybe_validate_checkpoint(period):
+                    stopped = True
+                    break
+
+            # remainder iterations fall back to the (equivalent-numerics)
+            # driver
+            if not stopped:
+                for _ in range(self.train_iters - it):
+                    self.global_step += 1
+                    self.train_step()
+                    if maybe_validate_checkpoint(1):
+                        break
         finally:
             if self.config.profile_dir:
                 jax.profiler.stop_trace()

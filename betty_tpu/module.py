@@ -89,11 +89,17 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
     apply_kwargs = dict(apply_kwargs or {})
 
     if variables is None:
+        import zlib
+
         if rng is None:
             rng = jax.random.PRNGKey(0)
         init_rngs = {"params": rng}
         for name in rng_names:
-            init_rngs[name] = jax.random.fold_in(rng, hash(name) % (2**31))
+            # stable fold (hash() is salted per interpreter, which would make
+            # initialization diverge across processes/hosts)
+            init_rngs[name] = jax.random.fold_in(
+                rng, zlib.crc32(name.encode()) & 0x7FFFFFFF
+            )
         kw = dict(sample_kwargs)
         if train_kwarg is not None:
             kw[train_kwarg] = False

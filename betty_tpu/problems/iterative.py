@@ -52,12 +52,14 @@ class IterativeProblem(Problem):
             self._pending_unroll_reset = True
         super().step_normal(global_step=global_step)
 
-    def one_step_descent(self, batch=None):
+    def one_step_descent(self, batch=None, advance_sched=None):
         if getattr(self, "_pending_unroll_reset", False):
             self._unroll_start_state = self.state
             self._unroll_batches = []
             self._pending_unroll_reset = False
-        loss_dict = super().one_step_descent(batch=batch)
+        loss_dict = super().one_step_descent(
+            batch=batch, advance_sched=advance_sched
+        )
         self._unroll_batches.append(self.cur_batch)
         return loss_dict
 

@@ -296,8 +296,12 @@ class Problem(abc.ABC):
             self.train_data_iterator = [iter(dl) for dl in self.train_data_loader]
             self.epoch_counter = [0 for _ in self.train_data_loader]
         else:
-            assert type(self).get_batch is not Problem.get_batch or self.env is not None, (
-                f"Problem {self._name} requires a data loader or a get_batch override"
+            # env-driven problems must override get_batch — the default one
+            # cannot pull from an Env (reference asserts the same,
+            # problem.py:144-145)
+            assert type(self).get_batch is not Problem.get_batch, (
+                f"Problem {self._name} requires a data loader or a "
+                "get_batch override"
             )
 
         # a problem needs last_grad iff it acts as a SAMA edge in any path
@@ -757,7 +761,11 @@ class Problem(abc.ABC):
     def load_state_dict(self, state_dict):
         st = self.state
         self.state = jax.tree_util.tree_map(
-            lambda cur, new: jnp.asarray(new, dtype=cur.dtype), st, state_dict
+            lambda cur, new: jax.device_put(
+                jnp.asarray(new, dtype=cur.dtype), cur.sharding
+            ),
+            st,
+            state_dict,
         )
 
     def log(self, stats, global_step):
