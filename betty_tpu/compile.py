@@ -25,7 +25,7 @@ hooks must be jnp-traceable (host-side side effects need driver mode).
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

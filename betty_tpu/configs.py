@@ -17,7 +17,7 @@ TPU/JAX runtime:
 * ``backend`` is unused on TPU (collectives ride ICI via XLA); kept for parity.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 
@@ -72,6 +72,11 @@ class Config:
     # --- TPU-native extension: run CG/Neumann vector algebra through fused
     # Pallas kernels over the flattened parameter vector (betty_tpu/ops).
     use_fused_vector_ops: bool = False
+
+    # --- TPU-native extension: rematerialize the forward pass during the
+    # backward (jax.checkpoint) — trades FLOPs for activation memory, the
+    # standard recipe for fitting large models in HBM.
+    remat: bool = False
 
 
 @dataclass

@@ -22,7 +22,7 @@ import jax
 from betty_tpu.configs import EngineConfig
 from betty_tpu.logging import logger
 from betty_tpu.misc.early_stopping import EarlyStopping
-from betty_tpu.parallel import batch_sharding, make_mesh, replicated, shard_state
+from betty_tpu.parallel import batch_sharding, make_mesh, shard_state
 from betty_tpu.utils import log_from_loss_dict
 
 

@@ -17,8 +17,6 @@ TPU notes:
   trace context instead of perturbing live parameters in place.
 """
 
-from typing import Any, Dict
-
 from betty_tpu.utils import tree_add
 
 from .darts import darts

@@ -9,7 +9,6 @@ units, sigmoid output mapping per-example loss -> weight;
 from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class MLP(nn.Module):

@@ -4,7 +4,6 @@
 from functools import partial
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class OmniglotCNN(nn.Module):

@@ -7,11 +7,8 @@ static sequence lengths, mask-based padding. Scale the config up
 (L=24, d=1024, h=16 ≈ roberta-large) for the v5e-8 north-star benchmark.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 
 class EncoderBlock(nn.Module):

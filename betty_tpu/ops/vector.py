@@ -21,8 +21,6 @@ falls back to pure-XLA tree math otherwise (identical numerics either way,
 asserted in tests/test_ops.py).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

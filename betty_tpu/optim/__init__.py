@@ -19,9 +19,8 @@ torch optimizer state, ``betty/hypergradient/utils.py:37-63``) and supports a
 per-step learning-rate schedule (counterpart of
 ``betty/patch/scheduler.py``)."""
 
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import optax
 

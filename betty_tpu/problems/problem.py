@@ -25,8 +25,7 @@ heart of leopard-ai/betty), re-architected for TPU/JAX:
 """
 
 import abc
-import functools
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -471,6 +470,11 @@ class Problem(abc.ABC):
                     c, batch, rng=rng, capture=True
                 )
                 return loss / gas, (loss_dict, mutated)
+
+            if problem._config.remat:
+                # recompute activations in the backward pass instead of
+                # storing them (jax.checkpoint): FLOPs for HBM
+                direct_loss = jax.checkpoint(direct_loss)
 
             (_, (loss_dict, mutated)), dgrad = jax.value_and_grad(
                 direct_loss, has_aux=True

@@ -5,7 +5,7 @@ on lists of ``torch.Tensor``; here every "vector" is a JAX pytree and the
 helpers are pure functions safe under ``jax.jit``.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
