@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 CACHE = Path(__file__).resolve().parent / ".bench_reference_cache.json"
 
 META_STEPS_WARMUP = 3
-META_STEPS_TIMED = 30
+META_STEPS_TIMED = 96
 BATCH = 128
 
 
@@ -51,7 +51,7 @@ def bench_ours():
     ])
     engine = build_engine(args)
     engine.train()
-    K = 8
+    K = 32
     runner = BlockRunner(engine, scan_periods=K)
 
     def sync():

@@ -223,6 +223,28 @@ class BlockRunner:
             )
             for name in self.problems
         }
+        # fast path: problems whose (single) loader is a device-resident
+        # ArrayLoader feed the block INDICES only; the gathers run inside the
+        # compiled block, so per-step data movement costs zero dispatches.
+        from betty_tpu.data import ArrayLoader
+        from betty_tpu.problems.problem import Problem as _ProblemBase
+
+        self.fastpath = {}
+        if engine.mesh is None:  # mesh runs use the sharded staging path
+            for name, p in self.problems.items():
+                dl = p.train_data_loader
+                if (
+                    dl is not None
+                    and len(dl) == 1
+                    and isinstance(dl[0], ArrayLoader)
+                    and dl[0].device
+                    and dl[0].drop_last
+                    and type(p).get_batch is _ProblemBase.get_batch
+                    and not type(p).__dict__.get("epoch_callback")
+                ):
+                    self.fastpath[name] = dl[0]
+        self.datasets = {n: ld.arrays for n, ld in self.fastpath.items()}
+
         donate = ()
         if engine.config.donate_state and not any(
             hasattr(p, "replay_unroll") for p in engine.problems
@@ -249,6 +271,19 @@ class BlockRunner:
         seg_batches = []
         for seg in self.segments:
             p = self.problems[seg.name]
+            if seg.name in self.fastpath:
+                ld = self.fastpath[seg.name]
+                if seg.events[0].reuse_batch:
+                    seg_batches.append(None)
+                elif seg.is_scan:
+                    idx = ld.take_indices(len(seg.events))  # (n, B)
+                    seg_batches.append(idx)
+                    p.cur_batch = ("__fastpath_idx__", idx[-1])
+                else:
+                    idx = ld.take_indices(1)[0]  # (B,)
+                    seg_batches.append(idx)
+                    p.cur_batch = ("__fastpath_idx__", idx)
+                continue
             p._batch_to_host = True
             try:
                 if seg.is_scan:
@@ -267,6 +302,24 @@ class BlockRunner:
             finally:
                 p._batch_to_host = False
         return seg_batches
+
+    def _gather(self, name, idx):
+        """Materialize a fastpath batch from the device-resident dataset
+        (inside the trace: zero extra dispatches)."""
+        arrays = self.datasets[name]
+        parts = tuple(a[idx] for a in arrays)
+        return parts[0] if len(parts) == 1 else parts
+
+    def _materialize_cur_batches(self):
+        """Host-side: resolve fastpath cur_batch markers into real batches
+        (used by validation and the driver remainder); a couple of gather
+        dispatches per run_block, outside the hot loop."""
+        for name, ld in self.fastpath.items():
+            p = self.problems[name]
+            cb = p.cur_batch
+            if isinstance(cb, tuple) and len(cb) == 2 and \
+                    isinstance(cb[0], str) and cb[0] == "__fastpath_idx__":
+                p.cur_batch = self._gather(name, cb[1])
 
     def _device_put_segments(self, seg_batches, extra_leading_axes):
         """One transfer per segment, sharding the batch axis when a mesh is
@@ -329,17 +382,18 @@ class BlockRunner:
             for name in self.problems
         }
         new_states, last_loss = self._jit_block(
-            engine.states, seg_batches, counts0
+            engine.states, seg_batches, counts0, self.datasets
         )
         engine.states = new_states
+        self._materialize_cur_batches()
         for name, p in self.problems.items():
             p._count += self.count_delta[name] * K
         return last_loss
 
     # -- traced block ------------------------------------------------------
-    def _block(self, states, seg_batches, counts0):
+    def _block(self, states, seg_batches, counts0, datasets):
         if self.scan_periods == 1:
-            return self._one_period(states, seg_batches, counts0)
+            return self._one_period(states, seg_batches, counts0, datasets)
 
         ks = jnp.arange(self.scan_periods, dtype=jnp.int32)
 
@@ -348,7 +402,9 @@ class BlockRunner:
             counts_k = {
                 n: counts0[n] + k * self.count_delta[n] for n in counts0
             }
-            new_carry, last_loss = self._one_period(carry, per_seg, counts_k)
+            new_carry, last_loss = self._one_period(
+                carry, per_seg, counts_k, datasets
+            )
             return new_carry, last_loss
 
         states, losses = jax.lax.scan(period_body, states, (seg_batches, ks))
@@ -369,7 +425,7 @@ class BlockRunner:
             for s_count in (p._count,)
         )
 
-    def _one_period(self, states, seg_batches, counts0):
+    def _one_period(self, states, seg_batches, counts0, datasets):
         cur_batches = {}
         cache = {}
         last_loss = {}
@@ -399,9 +455,18 @@ class BlockRunner:
                 "batches": batches,
             }
 
+        def gather(name, idx):
+            arrays = datasets[name]
+            parts = tuple(a[idx] for a in arrays)
+            return parts[0] if len(parts) == 1 else parts
+
         for seg, seg_batch in zip(self.segments, seg_batches):
             p = self.problems[seg.name]
             base_key = jax.random.PRNGKey(p._rng_seed)
+
+            if seg.name in self.fastpath and seg_batch is not None:
+                # indices -> batches, gathered inside the compiled block
+                seg_batch = gather(seg.name, seg_batch)
 
             if seg.is_scan:
                 upd = p.build_update_fn(

@@ -58,17 +58,40 @@ class ArrayLoader:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
-    def __iter__(self):
+    def _epoch_order(self, epoch):
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
-            order = rng.permutation(self.n)
-        else:
-            order = np.arange(self.n)
+            return np.random.RandomState(self.seed + epoch).permutation(self.n)
+        return np.arange(self.n)
+
+    def __iter__(self):
+        order = self._epoch_order(self.epoch)
         end = self.n - self.batch_size + 1 if self.drop_last else self.n
         for i in range(0, end, self.batch_size):
             idx = order[i : i + self.batch_size]
             batch = tuple(a[idx] for a in self.arrays)
             yield batch[0] if len(batch) == 1 else batch
+
+    def take_indices(self, count: int) -> np.ndarray:
+        """Fast-path API for the compiled-block runner: advance by ``count``
+        batches and return their index rows, shape (count, batch_size).
+        Follows the same epoch-rollover/order sequence as iterating with
+        ``set_epoch(epoch+1)`` on exhaustion (Problem.get_batch semantics),
+        with its own cursor state."""
+        assert self.drop_last, "take_indices requires drop_last"
+        out = []
+        pos = getattr(self, "_fp_pos", None)
+        order = getattr(self, "_fp_order", None)
+        epoch = getattr(self, "_fp_epoch", self.epoch)
+        while len(out) < count:
+            if order is None or pos + self.batch_size > self.n:
+                if order is not None:
+                    epoch += 1
+                order = self._epoch_order(epoch)
+                pos = 0
+            out.append(order[pos : pos + self.batch_size])
+            pos += self.batch_size
+        self._fp_pos, self._fp_order, self._fp_epoch = pos, order, epoch
+        return np.stack(out).astype(np.int32)
 
 
 def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,

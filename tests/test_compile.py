@@ -128,3 +128,39 @@ def test_block_itd_maml():
     w_driver = build(False)
     w_block = build(True)
     assert np.max(np.abs(w_driver - w_block)) < 1e-6, (w_driver, w_block)
+
+
+def test_fastpath_device_loader_matches_host_loader():
+    """The in-block gather fast path (device-resident ArrayLoader) consumes
+    the same batch sequence and produces the same numerics as host staging."""
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, optim
+    from betty_tpu.data import ArrayLoader
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data(n=512)
+
+    def build(device):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0, momentum=0.9),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=64, seed=1, device=device),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=64, seed=0, device=device),
+                      config=Config(unroll_steps=5))
+        eng = Engine(config=EngineConfig(train_iters=20, compile_blocks=True),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        eng.run()
+        return np.asarray(eng.states["inner"]["params"]["w"])
+
+    w_host = build(False)
+    w_dev = build(True)
+    assert np.max(np.abs(w_host - w_dev)) < 1e-6, np.max(np.abs(w_host - w_dev))
