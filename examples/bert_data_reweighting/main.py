@@ -48,8 +48,9 @@ from betty_tpu.data import ArrayLoader
 
 
 class TokenLoader(ArrayLoader):
-    def __init__(self, x, y, batch_size, seed=0):
-        super().__init__(x, y, batch_size=batch_size, seed=seed)
+    def __init__(self, x, y, batch_size, seed=0, device=False):
+        super().__init__(x, y, batch_size=batch_size, seed=seed,
+                         device=device)
 
 
 class Reweight(ImplicitProblem):
@@ -99,7 +100,8 @@ def build_engine(args):
         name="reweight",
         module=mwn,
         optimizer=optim.adam(lr=args.meta_lr),
-        train_data_loader=TokenLoader(x_meta, y_meta, args.batch_size, seed=1),
+        train_data_loader=TokenLoader(x_meta, y_meta, args.batch_size,
+                                      seed=1, device=args.device_data),
         config=Config(type=args.hypergradient, precision=args.precision,
                       log_step=args.log_step),
     )
@@ -108,7 +110,7 @@ def build_engine(args):
         module=classifier_mod,
         optimizer=optim.adamw(lr=args.lr, weight_decay=0.01),
         train_data_loader=TokenLoader(x_train, y_train, args.batch_size,
-                                      seed=0),
+                                      seed=0, device=args.device_data),
         config=Config(type=args.hypergradient,
                       unroll_steps=args.unroll_steps,
                       precision=args.precision, log_step=args.log_step),
@@ -147,6 +149,7 @@ def parse_args(argv=None):
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--compile_blocks", action="store_true")
+    p.add_argument("--device_data", action="store_true")
     return p.parse_args(argv)
 
 
