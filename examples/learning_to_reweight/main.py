@@ -110,6 +110,7 @@ def build_engine(args):
             train_iters=args.train_iters,
             valid_step=args.valid_step,
             strategy=args.strategy,
+            compile_blocks=args.compile_blocks,
         ),
         problems=[reweight, classifier],
         dependencies={
@@ -139,6 +140,7 @@ def parse_args(argv=None):
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--lr_schedule", action="store_true")
+    p.add_argument("--compile_blocks", action="store_true")
     # keep the dataset resident in HBM (one upfront transfer; batches are
     # device-side gathers) - the fast path on tunneled TPU runtimes
     p.add_argument("--device_data", action="store_true")
