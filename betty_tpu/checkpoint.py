@@ -29,6 +29,23 @@ def _host_meta(engine) -> Dict[str, Any]:
         "epoch_counters": {
             p.name: p.epoch_counter for p in engine.problems if p.epoch_counter
         },
+        # intra-epoch iterator positions: ArrayLoader-backed problems resume
+        # mid-epoch exactly (iter_from); other iterables restart their epoch
+        # (documented: exact resume at epoch boundaries only)
+        "batches_served": {
+            p.name: p.batches_served
+            for p in engine.problems
+            if getattr(p, "batches_served", None)
+        },
+        # unroll-phase flags: a mid-unroll checkpoint must re-run
+        # on_inner_loop_start (and re-cache roll-back state) only if the
+        # interrupted run would have
+        "inner_loop_start": {
+            p.name: p._inner_loop_start for p in engine.problems
+        },
+        "rollback_cached": [
+            p.name for p in engine.problems if p._state_cache is not None
+        ],
     }
 
 
@@ -36,6 +53,12 @@ def save_engine_state(engine, path: str):
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     states = {name: jax.device_get(s) for name, s in engine.states.items()}
+    # roll-back caches are live state too: a mid-unroll checkpoint under
+    # roll_back must restore the pre-unroll snapshot or the post-meta-update
+    # re-step would recover from the wrong point
+    for p in engine.problems:
+        if p._state_cache is not None:
+            states[f"__rollback__{p.name}"] = jax.device_get(p._state_cache)
     if _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, f"step_{engine.global_step}"), states,
@@ -57,6 +80,10 @@ def restore_engine_state(engine, path: str):
         meta = json.load(f)
     step = meta["global_step"]
     states = {name: jax.device_get(s) for name, s in engine.states.items()}
+    # skeleton entries for saved roll-back caches (same pytree structure as
+    # the problem's state)
+    for name in meta.get("rollback_cached", []):
+        states[f"__rollback__{name}"] = states[name]
     if _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.join(path, f"step_{step}"), states)
@@ -66,7 +93,11 @@ def restore_engine_state(engine, path: str):
         restored = jax.tree_util.tree_unflatten(
             treedef, [data[jax.tree_util.keystr(k)] for k, _ in flat]
         )
+    rollback_caches = {}
     for name, st in restored.items():
+        if name.startswith("__rollback__"):
+            rollback_caches[name[len("__rollback__"):]] = st
+            continue
         # preserve each leaf's sharding (ZeRO/FSDP layouts must survive
         # resume or a model that only fits sharded will OOM replicated)
         engine.states[name] = jax.tree_util.tree_map(
@@ -78,6 +109,29 @@ def restore_engine_state(engine, path: str):
         )
     engine.global_step = step
     for p in engine.problems:
+        if p.name in rollback_caches:
+            p._state_cache = jax.tree_util.tree_map(
+                lambda new, cur: jax.device_put(
+                    jax.numpy.asarray(new, dtype=cur.dtype), cur.sharding
+                ),
+                rollback_caches[p.name],
+                engine.states[p.name],
+            )
+        if p.name in meta.get("inner_loop_start", {}):
+            p._inner_loop_start = meta["inner_loop_start"][p.name]
         p._count = meta["counts"][p.name]
         if p.name in meta.get("epoch_counters", {}):
             p.epoch_counter = meta["epoch_counters"][p.name]
+        served = meta.get("batches_served", {}).get(p.name)
+        if served and p.train_data_loader is not None:
+            p.batches_served = list(served)
+            for i, dl in enumerate(p.train_data_loader):
+                if hasattr(dl, "set_epoch"):
+                    dl.set_epoch(p.epoch_counter[i])
+                if hasattr(dl, "iter_from"):
+                    # ArrayLoader: resume mid-epoch at the exact batch
+                    p.train_data_iterator[i] = dl.iter_from(
+                        p.epoch_counter[i], served[i]
+                    )
+                    if hasattr(dl, "sync_cursor"):
+                        dl.sync_cursor(p.epoch_counter[i], served[i])

@@ -230,20 +230,35 @@ class BlockRunner:
         from betty_tpu.problems.problem import Problem as _ProblemBase
 
         self.fastpath = {}
-        if engine.mesh is None:  # mesh runs use the sharded staging path
-            for name, p in self.problems.items():
-                dl = p.train_data_loader
-                if (
-                    dl is not None
-                    and len(dl) == 1
-                    and isinstance(dl[0], ArrayLoader)
-                    and dl[0].device
-                    and dl[0].drop_last
-                    and type(p).get_batch is _ProblemBase.get_batch
-                    and not type(p).__dict__.get("epoch_callback")
-                ):
-                    self.fastpath[name] = dl[0]
-        self.datasets = {n: ld.arrays for n, ld in self.fastpath.items()}
+        for name, p in self.problems.items():
+            dl = p.train_data_loader
+            if (
+                dl is not None
+                and len(dl) == 1
+                and isinstance(dl[0], ArrayLoader)
+                and dl[0].device
+                and dl[0].drop_last
+                and type(p).get_batch is _ProblemBase.get_batch
+                and not type(p).__dict__.get("epoch_callback")
+            ):
+                self.fastpath[name] = dl[0]
+        if engine.mesh is None:
+            self.datasets = {n: ld.arrays for n, ld in self.fastpath.items()}
+        else:
+            # under a mesh the dataset is replicated across devices; block
+            # batches are produced by gathering with dp-sharded index rows
+            # (see _device_put_segments), so each device materializes only
+            # its batch shard — the fast path composes with dp/zero/fsdp
+            from betty_tpu.parallel import replicated
+
+            rep = replicated(engine.mesh)
+            self.datasets = {
+                n: tuple(jax.device_put(a, rep) for a in ld.arrays)
+                for n, ld in self.fastpath.items()
+            }
+        # fastpath cursors are aligned with the live driver iterators on the
+        # first block (warmup iterations may already have consumed batches)
+        self._fp_synced = False
 
         donate = ()
         if engine.config.donate_state and not any(
@@ -353,6 +368,13 @@ class BlockRunner:
 
         engine = self.engine
         K = self.scan_periods
+        if self.fastpath and not self._fp_synced:
+            # driver -> fastpath: start exactly where warmup iteration left
+            # the epoch stream (no re-served batches)
+            for name, ld in self.fastpath.items():
+                p = self.problems[name]
+                ld.sync_cursor(p.epoch_counter[0], p.batches_served[0])
+            self._fp_synced = True
         per_period = [self.collect_batches() for _ in range(K)]
         if K == 1:
             seg_batches = per_period[0]
@@ -388,6 +410,19 @@ class BlockRunner:
         self._materialize_cur_batches()
         for name, p in self.problems.items():
             p._count += self.count_delta[name] * K
+        # fastpath -> driver: fast-forward the live iterator and epoch
+        # counter so any subsequent driver iterations (remainder, a later
+        # validation that consumes training batches) continue the stream.
+        # Fastpath problems have no epoch_callback (selection requires it),
+        # so skipping per-epoch callbacks for in-block epochs loses nothing.
+        for name, ld in self.fastpath.items():
+            p = self.problems[name]
+            epoch, served = ld.cursor_position()
+            if epoch != p.epoch_counter[0]:
+                p.epoch_counter[0] = epoch
+                ld.set_epoch(epoch)
+            p.batches_served[0] = served
+            p.train_data_iterator[0] = ld.iter_from(epoch, served)
         return last_loss
 
     # -- traced block ------------------------------------------------------

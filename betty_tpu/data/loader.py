@@ -75,8 +75,14 @@ class ArrayLoader:
         """Fast-path API for the compiled-block runner: advance by ``count``
         batches and return their index rows, shape (count, batch_size).
         Follows the same epoch-rollover/order sequence as iterating with
-        ``set_epoch(epoch+1)`` on exhaustion (Problem.get_batch semantics),
-        with its own cursor state."""
+        ``set_epoch(epoch+1)`` on exhaustion (Problem.get_batch semantics).
+
+        The cursor is shared with driver-mode iteration via ``sync_cursor``
+        (driver -> fastpath, called by the block runner before its first
+        block) and ``cursor_position``/``iter_from`` (fastpath -> driver,
+        called after each block) so warmup/remainder driver iterations and
+        compiled blocks consume one continuous batch stream with no
+        re-served data."""
         assert self.drop_last, "take_indices requires drop_last"
         out = []
         pos = getattr(self, "_fp_pos", None)
@@ -92,6 +98,32 @@ class ArrayLoader:
             pos += self.batch_size
         self._fp_pos, self._fp_order, self._fp_epoch = pos, order, epoch
         return np.stack(out).astype(np.int32)
+
+    def sync_cursor(self, epoch: int, batches_served: int):
+        """Align the ``take_indices`` cursor with a driver iterator that has
+        already consumed ``batches_served`` batches of ``epoch``."""
+        self._fp_epoch = int(epoch)
+        self._fp_order = self._epoch_order(int(epoch))
+        self._fp_pos = int(batches_served) * self.batch_size
+
+    def cursor_position(self):
+        """(epoch, batches_served) of the ``take_indices`` cursor."""
+        pos = getattr(self, "_fp_pos", 0)
+        epoch = getattr(self, "_fp_epoch", self.epoch)
+        return int(epoch), int(pos // self.batch_size)
+
+    def iter_from(self, epoch: int, batches_served: int):
+        """Iterator over the remainder of ``epoch`` starting after
+        ``batches_served`` batches (driver-mode resume after compiled
+        blocks; the loader's normal ``__iter__`` restart-the-epoch semantics
+        are unchanged)."""
+        order = self._epoch_order(int(epoch))
+        end = self.n - self.batch_size + 1 if self.drop_last else self.n
+        for i in range(int(batches_served) * self.batch_size, end,
+                       self.batch_size):
+            idx = order[i : i + self.batch_size]
+            batch = tuple(a[idx] for a in self.arrays)
+            yield batch[0] if len(batch) == 1 else batch
 
 
 def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,

@@ -261,11 +261,24 @@ class Engine:
         from betty_tpu.compile import BlockRunner
 
         probe = BlockRunner(self)  # schedule simulation only (cheap)
+        # a block may never span more than one validation (or checkpoint)
+        # boundary, or boundaries inside it would be silently skipped and
+        # early stopping would see fewer evaluations than driver mode
+        cadence = self.valid_step if self.do_validation() else self.train_iters
+        if self.config.checkpoint_step > 0 and self.config.checkpoint_dir:
+            cadence = min(cadence, self.config.checkpoint_step)
         K = self.config.block_periods
         if K <= 0:  # auto: amortize dispatch without outrunning validation
-            K = max(1, min(self.valid_step, self.train_iters, 512)
-                    // probe.period)
+            K = max(1, min(cadence, self.train_iters, 512) // probe.period)
             K = min(K, 32)
+        else:
+            K = max(1, min(K, max(1, cadence // probe.period)))
+        if probe.period > cadence and self.is_rank_zero():
+            self.logger.info(
+                f"[compile_blocks] schedule period {probe.period} exceeds the "
+                f"validation/checkpoint cadence {cadence}: boundary actions "
+                "run once per period (coarsened cadence)"
+            )
         runner = BlockRunner(self, scan_periods=K)
         period = runner.period * K
         self.train()

@@ -294,6 +294,10 @@ class Problem(abc.ABC):
             self.train_data_loader = list(self.train_data_loader)
             self.train_data_iterator = [iter(dl) for dl in self.train_data_loader]
             self.epoch_counter = [0 for _ in self.train_data_loader]
+            # batches consumed within the current epoch, per loader — the
+            # handoff cursor between driver iteration and compiled-block
+            # fastpath consumption (see compile.BlockRunner.run_block)
+            self.batches_served = [0 for _ in self.train_data_loader]
         else:
             # env-driven problems must override get_batch — the default one
             # cannot pull from an Env (reference asserts the same,
@@ -695,6 +699,7 @@ class Problem(abc.ABC):
         data_iterator = self.train_data_iterator[idx]
         try:
             batch = next(data_iterator)
+            self.batches_served[idx] += 1
         except StopIteration:
             if idx == 0:
                 self.epoch_callback_exec()
@@ -704,6 +709,7 @@ class Problem(abc.ABC):
                 train_data_loader.set_epoch(self.epoch_counter[idx])
             self.train_data_iterator[idx] = iter(train_data_loader)
             batch = next(self.train_data_iterator[idx])
+            self.batches_served[idx] = 1
         return self._convert_batch(batch)
 
     def _convert_batch(self, batch):

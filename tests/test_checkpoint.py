@@ -29,3 +29,61 @@ def test_checkpoint_roundtrip(tmp_path):
     engine2.train_iters = 2
     engine2.run()
     assert inner2._count == 8
+
+
+def test_resume_exactness_midepoch_midunroll(tmp_path):
+    """Interrupted-and-resumed training equals uninterrupted training bit
+    for bit: ArrayLoader iterator positions are persisted (mid-epoch cut)
+    and roll-back caches + inner-loop flags survive a mid-unroll cut."""
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, optim
+    from betty_tpu.data import ArrayLoader
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data(n=160)
+
+    def build(iters):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0, momentum=0.9),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=16, seed=1),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=16, seed=0),
+                      config=Config(unroll_steps=4))
+        eng = Engine(config=EngineConfig(train_iters=iters, roll_back=True),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        return eng, outer, inner
+
+    # uninterrupted: 14 iterations (5 batches/epoch -> mid-epoch at 7;
+    # unroll 4 -> iteration 7 is mid-unroll with a live roll-back cache)
+    e_full, _, _ = build(14)
+    e_full.run()
+    w_full = np.asarray(e_full.states["inner"]["params"]["w"])
+    l_full = np.asarray(e_full.states["outer"]["params"]["w"])
+
+    # interrupted at 7, checkpointed, resumed in a FRESH engine for 7 more
+    e_a, _, i_a = build(7)
+    e_a.run()
+    assert i_a._state_cache is not None  # mid-unroll: cache is live
+    e_a.save_checkpoint(str(tmp_path))
+
+    e_b, _, i_b = build(14)
+    e_b.load_checkpoint(str(tmp_path))
+    assert i_b._count == 7 and not i_b._inner_loop_start
+    assert i_b._state_cache is not None
+    for _ in range(7):
+        e_b.global_step += 1
+        e_b.train_step()
+
+    w_res = np.asarray(e_b.states["inner"]["params"]["w"])
+    l_res = np.asarray(e_b.states["outer"]["params"]["w"])
+    assert np.array_equal(w_full, w_res), np.max(np.abs(w_full - w_res))
+    assert np.array_equal(l_full, l_res)

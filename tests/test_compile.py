@@ -164,3 +164,126 @@ def test_fastpath_device_loader_matches_host_loader():
     w_host = build(False)
     w_dev = build(True)
     assert np.max(np.abs(w_host - w_dev)) < 1e-6, np.max(np.abs(w_host - w_dev))
+
+
+def test_fastpath_composes_with_mesh():
+    """The device-resident gather fast path runs under a dp mesh: dataset
+    replicated, index rows dp-sharded, so the in-block gather materializes
+    each device's batch shard directly. Numerics match (a) the same mesh in
+    driver mode and (b) the host-staging block path."""
+    import jax
+
+    from betty_tpu import Engine, optim
+    from betty_tpu.data import ArrayLoader
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    train, valid = make_data(n=512)
+
+    def build(compile_blocks, device):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0, momentum=0.9),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=64, seed=1, device=device),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=64, seed=0, device=device),
+                      config=Config(unroll_steps=5))
+        eng = Engine(config=EngineConfig(train_iters=20,
+                                         compile_blocks=compile_blocks,
+                                         strategy="dp"),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        eng.run()
+        return np.asarray(eng.states["inner"]["params"]["w"])
+
+    w_fast = build(True, device=True)    # mesh + in-block gather fast path
+    w_stage = build(True, device=False)  # mesh + host staging blocks
+    w_driver = build(False, device=True)  # mesh + driver mode
+    assert np.max(np.abs(w_fast - w_stage)) < 1e-6, np.max(np.abs(w_fast - w_stage))
+    assert np.max(np.abs(w_fast - w_driver)) < 1e-6, np.max(np.abs(w_fast - w_driver))
+
+
+def test_block_validation_call_count_matches_driver():
+    """Block mode runs validation exactly as many times as driver mode even
+    with a user-set block_periods that would otherwise span several
+    valid_step boundaries (the engine caps the effective block size)."""
+    from betty_tpu import Engine
+
+    calls = []
+
+    class ValEngine(Engine):
+        def validation(self):
+            calls.append(self.global_step)
+            return {"metric": 0.0}
+
+    def count(compile_blocks):
+        calls.clear()
+        engine, outer, inner = make_engine(
+            Config(unroll_steps=2),
+            EngineConfig(train_iters=60, valid_step=7,
+                         compile_blocks=compile_blocks, block_periods=50),
+            engine_cls=ValEngine,
+        )
+        engine.run()
+        return len(calls)
+
+    n_driver = count(False)
+    n_block = count(True)
+    assert n_driver == n_block == 60 // 7, (n_driver, n_block)
+
+
+def test_fastpath_warmup_remainder_stream_continuity():
+    """Device-resident fastpath + warmup driver phase + non-divisible driver
+    remainder consume ONE continuous batch stream: the take_indices cursor
+    starts where warmup iteration stopped and the live iterator resumes
+    where the blocks stopped (no silently re-served batches)."""
+    from betty_tpu import Engine, optim
+    from betty_tpu.data import ArrayLoader
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data(n=192)
+
+    def build(compile_blocks):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0, momentum=0.9),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=16, seed=1, device=True),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=16, seed=0, device=True),
+                      config=Config(unroll_steps=2, warmup_steps=5))
+        eng = Engine(config=EngineConfig(train_iters=100,
+                                         compile_blocks=compile_blocks,
+                                         block_periods=4),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        eng.run()
+        return eng, outer, inner
+
+    e1, o1, i1 = build(False)
+    e2, o2, i2 = build(True)
+    assert i1.count == i2.count == 100
+    # 6 batches/epoch, 100 batches consumed -> identical epoch bookkeeping
+    assert i1.epoch_counter == i2.epoch_counter
+    assert i1.batches_served == i2.batches_served
+    w1 = np.asarray(e1.states["inner"]["params"]["w"])
+    w2 = np.asarray(e2.states["inner"]["params"]["w"])
+    assert np.max(np.abs(w1 - w2)) < 1e-6, np.max(np.abs(w1 - w2))
+    l1 = np.asarray(e1.states["outer"]["params"]["w"])
+    l2 = np.asarray(e2.states["outer"]["params"]["w"])
+    assert np.max(np.abs(l1 - l2)) < 1e-6
