@@ -5,9 +5,18 @@ Capability port of reference ``examples/bert_data_reweighting/main.py``
 ``--hypergradient sama``, fp16, unroll=5, strategies default/distributed/
 zero). TPU-native: bf16 precision, ``strategy`` selects a mesh sharding
 layout (dp / zero / fsdp) — SAMA's cross-replica reductions become XLA
-collectives over ICI automatically. Synthetic token data by default; plug a
-real SST-2 loader for dataset numbers. Scale the model with
+collectives over ICI automatically. Scale the model with
 ``--model large`` (≈355M params, the v5e-8 target).
+
+Data: synthetic token data by default. ``--data-dir`` ingests real SST-2:
+a GLUE-style TSV directory (``train.tsv``/``dev.tsv``, columns
+label<TAB>sentence — the reference's layout, ``main.py:53-66``) tokenized
+with a local HuggingFace tokenizer when one is available at
+``<data-dir>/tokenizer`` (no download egress here), else a hashed-vocab
+whitespace tokenizer; or an ``.npz`` with pre-tokenized ``x_train/y_train/
+x_dev/y_dev`` id arrays. Long-tail imbalance follows the reference's
+``split_dataset`` (``utils.py:38-67``). ``validation()`` reports dev
+accuracy and checkpoints on improvement.
 """
 
 import argparse
@@ -47,6 +56,86 @@ def make_synthetic_sst2(n, seq_len, vocab, seed=0, imbalance=10):
 from betty_tpu.data import ArrayLoader
 
 
+def hashed_tokenize(sentences, vocab, seq_len):
+    """Deterministic no-download tokenizer: whitespace split, stable hash
+    into [2, vocab) (0=pad, 1=cls). Makes real text usable without a
+    pretrained vocab; swap in a local HF tokenizer for published numbers."""
+    import zlib
+
+    ids = np.zeros((len(sentences), seq_len), np.int32)
+    ids[:, 0] = 1
+    for i, s in enumerate(sentences):
+        toks = str(s).lower().split()[: seq_len - 1]
+        for j, t in enumerate(toks):
+            ids[i, j + 1] = 2 + (zlib.crc32(t.encode()) % (vocab - 2))
+    return ids
+
+
+def load_sst2(data_dir, vocab, seq_len):
+    """(x_train, y_train, x_dev, y_dev) token-id arrays from --data-dir."""
+    import os
+
+    if os.path.isfile(data_dir) and data_dir.endswith(".npz"):
+        d = np.load(data_dir)
+        return (d["x_train"].astype(np.int32), d["y_train"].astype(np.int32),
+                d["x_dev"].astype(np.int32), d["y_dev"].astype(np.int32))
+
+    def read_tsv(name):
+        labels, sents = [], []
+        with open(os.path.join(data_dir, name)) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t", 1)
+                if len(parts) != 2 or not parts[0].strip().isdigit():
+                    continue  # header or malformed row
+                labels.append(int(parts[0]))
+                sents.append(parts[1])
+        return sents, np.asarray(labels, np.int32)
+
+    tok_path = os.path.join(data_dir, "tokenizer")
+    tokenize = None
+    if os.path.isdir(tok_path):
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(tok_path, local_files_only=True)
+
+            def tokenize(sents):
+                out = tok(sents, max_length=seq_len, padding="max_length",
+                          truncation=True)
+                return np.asarray(out["input_ids"], np.int32)
+        except Exception:
+            tokenize = None
+    if tokenize is None:
+        def tokenize(sents):
+            return hashed_tokenize(sents, vocab, seq_len)
+
+    s_tr, y_tr = read_tsv("train.tsv")
+    s_dev, y_dev = read_tsv("dev.tsv")
+    return tokenize(s_tr), y_tr, tokenize(s_dev), y_dev
+
+
+def split_imbalanced(x, y, imbalance_factor, num_meta_total=200, seed=1):
+    """Balanced meta split + long-tail train subsampling (reference
+    ``utils.py:38-67`` semantics, 2 classes)."""
+    rng = np.random.RandomState(seed)
+    num_classes = 2
+    num_meta = num_meta_total // num_classes
+    sample_num = (len(y) - num_meta_total) // num_classes
+    counts = [
+        int(sample_num / imbalance_factor ** (c / (num_classes - 1)))
+        for c in range(num_classes)
+    ]
+    idx_meta, idx_train = [], []
+    for c in range(num_classes):
+        idx_c = np.flatnonzero(y == c)
+        rng.shuffle(idx_c)
+        idx_meta.extend(idx_c[:num_meta])
+        idx_train.extend(idx_c[num_meta:][: counts[c]])
+    idx_meta, idx_train = np.asarray(idx_meta), np.asarray(idx_train)
+    rng.shuffle(idx_train)
+    return x[idx_train], y[idx_train], x[idx_meta], y[idx_meta]
+
+
 class TokenLoader(ArrayLoader):
     def __init__(self, x, y, batch_size, seed=0, device=False):
         super().__init__(x, y, batch_size=batch_size, seed=seed,
@@ -73,15 +162,52 @@ class Classifier(ImplicitProblem):
         return jnp.sum(weight * ce) / jnp.maximum(jnp.sum(weight), 1e-8)
 
 
+class SST2Engine(Engine):
+    """Dev-accuracy validation + best-checkpoint saving (reference
+    examples/bert_data_reweighting/main.py:160-178)."""
+
+    dev_data = None
+    checkpoint_dir = None
+    eval_batch = 256
+    best_acc = -1.0
+
+    def validation(self):
+        if self.dev_data is None:
+            return {}
+        x, y = self.dev_data
+        bs = min(self.eval_batch, len(y))
+        correct = n = 0
+        for i in range(0, len(y) - bs + 1, bs):
+            logits = self.classifier(jnp.asarray(x[i : i + bs]))
+            correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
+            n += bs
+        acc = 100.0 * correct / max(n, 1)
+        if acc > self.best_acc:
+            self.best_acc = acc
+            if self.checkpoint_dir:
+                self.save_checkpoint(self.checkpoint_dir)
+        return {"acc": acc, "best_acc": self.best_acc}
+
+
 def build_engine(args):
     vocab = 1000 if args.model == "small" else 50265
-    x_train, y_train = make_synthetic_sst2(
-        args.train_size, args.seq_len, vocab, seed=0,
-        imbalance=args.imbalance,
-    )
-    x_meta, y_meta = make_synthetic_sst2(
-        args.meta_size, args.seq_len, vocab, seed=1, imbalance=1
-    )
+    dev_data = None
+    if args.data_dir:
+        x_all, y_all, x_dev, y_dev = load_sst2(
+            args.data_dir, vocab, args.seq_len
+        )
+        x_train, y_train, x_meta, y_meta = split_imbalanced(
+            x_all, y_all, args.imbalance, num_meta_total=args.num_meta,
+        )
+        dev_data = (x_dev, y_dev)
+    else:
+        x_train, y_train = make_synthetic_sst2(
+            args.train_size, args.seq_len, vocab, seed=0,
+            imbalance=args.imbalance,
+        )
+        x_meta, y_meta = make_synthetic_sst2(
+            args.meta_size, args.seq_len, vocab, seed=1, imbalance=1
+        )
 
     if args.model == "large":
         model = roberta_large_config(max_len=args.seq_len)
@@ -115,7 +241,7 @@ def build_engine(args):
                       unroll_steps=args.unroll_steps,
                       precision=args.precision, log_step=args.log_step),
     )
-    return Engine(
+    engine = SST2Engine(
         config=EngineConfig(
             train_iters=args.train_iters, valid_step=args.valid_step,
             strategy=args.strategy, compile_blocks=args.compile_blocks,
@@ -124,6 +250,9 @@ def build_engine(args):
         dependencies={"u2l": {reweight: [classifier]},
                       "l2u": {classifier: [reweight]}},
     )
+    engine.dev_data = dev_data
+    engine.checkpoint_dir = args.checkpoint_dir
+    return engine
 
 
 def parse_args(argv=None):
@@ -150,6 +279,13 @@ def parse_args(argv=None):
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--compile_blocks", action="store_true")
     p.add_argument("--device_data", action="store_true")
+    # --- real-data options ---
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="SST-2 TSV dir or pre-tokenized npz; synthetic if unset")
+    p.add_argument("--num_meta", type=int, default=200,
+                   help="balanced meta-set size (reference num_meta_total)")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="save engine checkpoint on validation improvement")
     return p.parse_args(argv)
 
 

@@ -3,9 +3,15 @@
 Capability port of reference ``examples/learning_to_reweight/main.py``
 (bilevel: MLP reweighter <- ResNet-32 on imbalanced/noisy CIFAR-10, darts
 solver, unroll=1), re-built for TPU: one jitted meta-step, bf16-ready, DP
-over a device mesh with a flag. Data is synthetic CIFAR-shaped by default
-(this environment has no dataset egress); pass ``--data-dir`` with a local
-CIFAR-10 copy for the real benchmark numbers.
+over a device mesh with a flag.
+
+Data: synthetic CIFAR-shaped by default (this environment has no dataset
+egress). Pass ``--data-dir`` with a local CIFAR-10 copy (torchvision pickle
+layout or an npz with x_train/y_train/x_test/y_test) for the real workload,
+plus ``--imbalanced_factor`` / ``--corruption_type`` / ``--corruption_ratio``
+for the long-tail / noisy-label settings of the reference README's accuracy
+table. ``validation()`` reports test accuracy and checkpoints on improvement
+(reference ``main.py:160-178``).
 """
 
 import argparse
@@ -13,6 +19,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +27,11 @@ import numpy as np
 import optax
 
 from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+from betty_tpu.data import ArrayLoader
 from betty_tpu.models import MetaWeightNet, ResNet32
 from betty_tpu.module import from_flax
+
+from mwn_data import augment_batch, build_splits, load_cifar10
 
 
 def make_synthetic_cifar(n, num_classes=10, seed=0, image=(32, 32, 3)):
@@ -31,17 +41,26 @@ def make_synthetic_cifar(n, num_classes=10, seed=0, image=(32, 32, 3)):
     return x, y
 
 
-from betty_tpu.data import ArrayLoader
-
-
 class BatchLoader(ArrayLoader):
-    """Epoch-seeded minibatch loader (betty_tpu.data.ArrayLoader with the
-    (x, y) convenience signature used across the examples)."""
+    """Epoch-seeded minibatch loader; optional host-side train augmentation
+    (reflect-pad crop + flip, reference data.py:56-62). Augmentation implies
+    host batches (incompatible with device=True)."""
 
     def __init__(self, x, y, batch_size, seed=0, drop_last=True,
-                 device=False):
+                 device=False, augment=False):
+        assert not (augment and device), "augmentation is host-side"
         super().__init__(x, y, batch_size=batch_size, seed=seed,
                          drop_last=drop_last, device=device)
+        self.augment = augment
+        self._aug_rng = np.random.RandomState(seed + 77)
+
+    def __iter__(self):
+        for batch in super().__iter__():
+            if self.augment:
+                x, y = batch
+                yield augment_batch(np.asarray(x), self._aug_rng), y
+            else:
+                yield batch
 
 
 class Reweight(ImplicitProblem):
@@ -64,12 +83,53 @@ class Classifier(ImplicitProblem):
         return jnp.mean(weight * ce)
 
 
+class MWNEngine(Engine):
+    """Engine with test-accuracy validation + best-checkpoint saving
+    (reference examples/learning_to_reweight/main.py:160-178)."""
+
+    test_data = None  # (x, y) set by build_engine when a test set exists
+    checkpoint_dir = None
+    eval_batch = 512
+    best_acc = -1.0
+
+    def validation(self):
+        if self.test_data is None:
+            return {}
+        x, y = self.test_data
+        correct = 0
+        for i in range(0, len(y) - self.eval_batch + 1, self.eval_batch):
+            logits = self.classifier(jnp.asarray(x[i : i + self.eval_batch]))
+            correct += int((np.asarray(logits).argmax(1) ==
+                            y[i : i + self.eval_batch]).sum())
+        n = (len(y) // self.eval_batch) * self.eval_batch
+        acc = 100.0 * correct / max(n, 1)
+        if acc > self.best_acc:
+            self.best_acc = acc
+            if self.checkpoint_dir:
+                self.save_checkpoint(self.checkpoint_dir)
+        return {"acc": acc, "best_acc": self.best_acc}
+
+
 def build_engine(args):
-    x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
-    x_meta, y_meta = make_synthetic_cifar(args.meta_size, seed=1)
+    test_data = None
+    if args.data_dir:
+        x_all, y_all, x_test, y_test = load_cifar10(args.data_dir)
+        x_train, y_train, x_meta, y_meta = build_splits(
+            x_all, y_all,
+            num_classes=args.num_classes,
+            num_meta_total=args.num_meta,
+            imbalanced_factor=args.imbalanced_factor,
+            corruption_type=args.corruption_type,
+            corruption_ratio=args.corruption_ratio,
+            seed=args.data_seed,
+        )
+        test_data = (x_test, y_test)
+    else:
+        x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
+        x_meta, y_meta = make_synthetic_cifar(args.meta_size, seed=1)
 
     train_loader = BatchLoader(x_train, y_train, args.batch_size, seed=0,
-                               device=args.device_data)
+                               device=args.device_data, augment=args.augment)
     meta_loader = BatchLoader(x_meta, y_meta, args.batch_size, seed=1,
                               device=args.device_data)
 
@@ -102,10 +162,11 @@ def build_engine(args):
         ),
         train_data_loader=train_loader,
         config=Config(type=args.solver, unroll_steps=args.unroll_steps,
-                      precision=args.precision, log_step=args.log_step),
+                      precision=args.precision, log_step=args.log_step,
+                      **solver_kwargs(args)),
     )
 
-    engine = Engine(
+    engine = MWNEngine(
         config=EngineConfig(
             train_iters=args.train_iters,
             valid_step=args.valid_step,
@@ -118,7 +179,18 @@ def build_engine(args):
             "l2u": {classifier: [reweight]},
         },
     )
+    engine.test_data = test_data
+    engine.checkpoint_dir = args.checkpoint_dir
     return engine
+
+
+def solver_kwargs(args):
+    if args.solver == "cg":
+        return {"cg_iterations": args.cg_iterations, "cg_alpha": args.cg_alpha}
+    if args.solver == "neumann":
+        return {"neumann_iterations": args.neumann_iterations,
+                "neumann_alpha": args.neumann_alpha}
+    return {}
 
 
 def parse_args(argv=None):
@@ -128,14 +200,17 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--meta_lr", type=float, default=1e-5)
     p.add_argument("--meta_weight_decay", type=float, default=0.0)
-    p.add_argument("--solver", type=str, default="darts")
+    p.add_argument("--solver", type=str, default="darts",
+                   choices=["darts", "sama", "cg", "neumann"])
+    p.add_argument("--cg_iterations", type=int, default=3)
+    p.add_argument("--cg_alpha", type=float, default=1.0)
+    p.add_argument("--neumann_iterations", type=int, default=5)
+    p.add_argument("--neumann_alpha", type=float, default=0.01)
     p.add_argument("--unroll_steps", type=int, default=1)
     p.add_argument("--precision", type=str, default="fp32")
     p.add_argument("--strategy", type=str, default="default")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--num_classes", type=int, default=10)
-    p.add_argument("--train_size", type=int, default=4096)
-    p.add_argument("--meta_size", type=int, default=1024)
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
@@ -144,6 +219,24 @@ def parse_args(argv=None):
     # keep the dataset resident in HBM (one upfront transfer; batches are
     # device-side gathers) - the fast path on tunneled TPU runtimes
     p.add_argument("--device_data", action="store_true")
+    # --- real-data options (reference workload definition) ---
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="CIFAR-10 pickle dir or npz; synthetic if unset")
+    p.add_argument("--num_meta", type=int, default=1000,
+                   help="balanced meta-set size (reference num_meta_total)")
+    p.add_argument("--imbalanced_factor", type=float, default=None,
+                   help="long-tail factor IF (reference: 200/100/50)")
+    p.add_argument("--corruption_type", type=str, default=None,
+                   choices=["uniform", "flip1", "flip2"])
+    p.add_argument("--corruption_ratio", type=float, default=0.0)
+    p.add_argument("--data_seed", type=int, default=1)
+    p.add_argument("--augment", action="store_true",
+                   help="host-side random crop + flip on train batches")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="save engine checkpoint on validation improvement")
+    # synthetic-mode sizes
+    p.add_argument("--train_size", type=int, default=4096)
+    p.add_argument("--meta_size", type=int, default=1024)
     return p.parse_args(argv)
 
 
