@@ -45,6 +45,14 @@ class Config:
     precision: str = "fp32"
     initial_dynamic_scale: float = 4096.0  # inert on TPU (no fp16 GradScaler)
     scale_factor: float = 2.0  # inert on TPU
+    # Precision of the HYPERGRADIENT pipeline (direct cross-gradient + solver
+    # perturbations/HVPs) when ``precision`` is reduced. bf16 central
+    # differences with eps = R/||v|| are noise-dominated (bf16 has ~3 decimal
+    # digits; the difference is amplified by 1/(2 eps)), so the default runs
+    # solver math in fp32 — it executes once per unroll_steps inner steps, so
+    # the end-to-end cost is small. Set to "bf16" to force reduced precision
+    # everywhere (measured error: tests/test_bf16.py).
+    solver_precision: str = "fp32"
 
     # warm-up
     warmup_steps: int = 0

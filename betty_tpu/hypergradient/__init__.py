@@ -48,7 +48,7 @@ def compute_path_grads(problem, ctx, states, batch, path_batches, rng, gas):
     """
     import jax
 
-    from betty_tpu.problems.problem import ctx_replace
+    from betty_tpu.problems.problem import ctx_replace, force_fp32
 
     total = None
     for path in problem.paths:
@@ -59,7 +59,12 @@ def compute_path_grads(problem, ctx, states, batch, path_batches, rng, gas):
             loss, _, _ = problem.eval_loss(c, batch, rng=rng)
             return loss / gas
 
-        v = jax.grad(child_loss)(ctx[child.name]["params"])
+        # solver_precision="fp32": the whole hypergradient pipeline (direct
+        # cross-gradient + each solver edge) runs without the bf16 cast —
+        # central differences and HVPs are noise-dominated in bf16
+        # (tests/test_bf16.py measures the difference)
+        with force_fp32(problem.config.solver_precision == "fp32"):
+            v = jax.grad(child_loss)(ctx[child.name]["params"])
         v = child.meta_filter_grad(v)
 
         for i in range(1, len(path) - 1):
@@ -69,7 +74,10 @@ def compute_path_grads(problem, ctx, states, batch, path_batches, rng, gas):
                 f"Unknown hypergradient solver {solver_name!r}"
             )
             jvp_fn = jvp_fn_mapping[solver_name]
-            v = jvp_fn(v, curr, prev, ctx, states, path_batches[curr.name], rng)
+            with force_fp32(curr.config.solver_precision == "fp32"):
+                v = jvp_fn(
+                    v, curr, prev, ctx, states, path_batches[curr.name], rng
+                )
 
         total = tree_add(total, v)
     return total

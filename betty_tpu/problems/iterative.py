@@ -40,9 +40,6 @@ class IterativeProblem(Problem):
         super().__init__(*args, **kwargs)
         self._unroll_batches: List[Any] = []
         self._unroll_start_state: Optional[Dict[str, Any]] = None
-        assert self.gas == 1, (
-            "IterativeProblem does not support gradient accumulation yet"
-        )
 
     # -- unroll bookkeeping ------------------------------------------------
     def step_normal(self, global_step=None):
@@ -99,21 +96,42 @@ class IterativeProblem(Problem):
 
         stacked = data["batches"]
         problem = self
+        gas = self.gas
+        if gas > 1:
+            # gradient accumulation: group the recorded micro-batches into
+            # optimizer steps of `gas` each; grads of (sum loss_j / gas)
+            # accumulate, the optimizer steps once per group, and the
+            # scheduler counter still advances per micro-step (driver
+            # semantics, reference problem.py:354-357 + 391-392)
+            stacked = jax.tree_util.tree_map(
+                lambda x: x.reshape((x.shape[0] // gas, gas) + x.shape[1:]),
+                stacked,
+            )
 
-        def inner_step(carry, batch):
+        def inner_step(carry, batch_group):
             params, opt_state, sched_step = carry
 
             def loss_fn(p):
                 c = ctx_replace(ctx, problem.name, p)
-                loss, _, _ = problem.eval_loss(c, batch, rng=rng)
+                if gas > 1:
+                    total = 0.0
+                    for j in range(gas):
+                        micro = jax.tree_util.tree_map(
+                            lambda x: x[j], batch_group
+                        )
+                        loss, _, _ = problem.eval_loss(c, micro, rng=rng)
+                        total = total + loss
+                    return total / gas
+                loss, _, _ = problem.eval_loss(c, batch_group, rng=rng)
                 return loss
 
             g = jax.grad(loss_fn)(params)
+            # update sees the counter as of the group's last micro-step
             updates, opt_state = problem.optimizer.update(
-                g, opt_state, params, sched_step=sched_step
+                g, opt_state, params, sched_step=sched_step + gas - 1
             )
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, sched_step + 1), None
+            return (params, opt_state, sched_step + gas), None
 
         (params, _, _), _ = jax.lax.scan(
             inner_step,

@@ -51,6 +51,29 @@ _TRACE_CTX: Optional[Dict[str, Dict[str, Any]]] = None
 _ACTIVE_CAPTURE: Optional[str] = None  # problem whose mutable collections are captured
 _CAPTURED_MUTATIONS: Dict[str, Any] = {}
 _TRACE_RNG: Optional[jax.Array] = None
+_FORCE_FP32: bool = False  # solver_precision="fp32": skip bf16 casts in forward
+
+
+class force_fp32:
+    """Trace-time scope that disables reduced-precision casting in
+    ``Problem.forward`` — the hypergradient pipeline's fp32 policy
+    (``Config.solver_precision``). Parameters are fp32 masters, so skipping
+    the cast makes the wrapped computation exactly fp32."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FORCE_FP32
+        self._saved = _FORCE_FP32
+        if self.enabled:
+            _FORCE_FP32 = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_FP32
+        _FORCE_FP32 = self._saved
+        return False
 
 
 class _CtxBinding:
@@ -271,6 +294,23 @@ class Problem(abc.ABC):
             hgconfig = problem.config
             first_order.append(hgconfig.first_order)
         self._first_order = all(first_order) if first_order else False
+        if (
+            self._parents
+            and not self._first_order
+            and not hasattr(self, "replay_unroll")
+            and self.logger is not None
+        ):
+            # the reference would set create_graph=True through this child
+            # (problem.py:344-351); here second-order flows only through an
+            # IterativeProblem's differentiable replay — say so loudly
+            # instead of silently doing nothing
+            self.logger.warning(
+                f"Problem {self._name!r}: a parent sets first_order=False "
+                "but this child is not an IterativeProblem — ITD gradients "
+                "through its updates are NOT computed. Use IterativeProblem "
+                "for iterative differentiation, or first_order=True with an "
+                "implicit solver (darts/cg/neumann/sama)."
+            )
 
         # user configure_* hooks (reference problem.py:139-162)
         if self.is_implemented("configure_train_data_loader"):
@@ -348,7 +388,7 @@ class Problem(abc.ABC):
             params, extra = st["params"], st["extra"]
 
         variables = {"params": params, **extra}
-        if self.precision in ("fp16", "bf16"):
+        if self.precision in ("fp16", "bf16") and not _FORCE_FP32:
             variables = tree_cast(variables, self.dtype)
             args = tuple(tree_cast(a, self.dtype) for a in args)
 

@@ -90,3 +90,90 @@ def test_maml_meta_gradient_exact():
     got = np.asarray(engine.states["meta"]["params"]["w"])
     want = expected_meta_params()
     assert np.max(np.abs(got - want)) < 1e-5, (got, want)
+
+
+def test_maml_meta_gradient_exact_with_gas():
+    """ITD + gradient accumulation (VERDICT r1 missing #5): inner takes
+    gas=2 micro-batches per optimizer step; the replayed meta-gradient must
+    equal the exact derivative through the accumulate-then-step unroll."""
+    GAS, STEPS = 2, 2
+    targets = [rng.randn(D).astype(np.float32) for _ in range(GAS * STEPS)]
+
+    class AdaptG(Adapt):
+        pass
+
+    meta = Meta(
+        "meta",
+        module=from_fn(lambda p: p["w"], {"w": jnp.asarray(THETA0)}),
+        optimizer=optim.sgd(lr=META_LR),
+        train_data_loader=[jnp.asarray(T_OUTER)],
+        config=Config(first_order=False),
+    )
+    adapt = AdaptG(
+        "adapt",
+        module=from_fn(lambda p: p["w"], {"w": jnp.zeros(D)}),
+        optimizer=optim.sgd(lr=INNER_LR),
+        train_data_loader=[jnp.asarray(t) for t in targets],
+        config=Config(unroll_steps=STEPS, gradient_accumulation=GAS),
+    )
+    engine = Engine(
+        config=EngineConfig(train_iters=GAS * STEPS),
+        problems=[meta, adapt],
+        dependencies={"u2l": {meta: [adapt]}, "l2u": {adapt: [meta]}},
+    )
+    engine.run()
+    assert adapt.count == GAS * STEPS and meta.count == 1
+
+    def adapted(theta):
+        w = theta
+        for s in range(STEPS):
+            g = None
+            for j in range(GAS):
+                t = jnp.asarray(targets[s * GAS + j])
+                gj = jax.grad(lambda wi: 0.5 * jnp.sum((wi - t) ** 2) / GAS)(w)
+                g = gj if g is None else g + gj
+            w = w - INNER_LR * g
+        return w
+
+    def meta_loss(theta):
+        return 0.5 * jnp.sum((adapted(theta) - jnp.asarray(T_OUTER)) ** 2)
+
+    want = np.asarray(
+        jnp.asarray(THETA0) - META_LR * jax.grad(meta_loss)(jnp.asarray(THETA0))
+    )
+    got = np.asarray(engine.states["meta"]["params"]["w"])
+    assert np.max(np.abs(got - want)) < 1e-5, (got, want)
+
+
+def test_first_order_false_above_implicit_child_warns():
+    """first_order=False above an ImplicitProblem child silently did nothing
+    (reference sets create_graph=True through the child); now it warns."""
+    warnings = []
+
+    class Probe(ImplicitProblem):
+        def training_step(self, batch):
+            return 0.5 * jnp.sum((self.module() - batch) ** 2)
+
+    class MetaP(ImplicitProblem):
+        def training_step(self, batch):
+            return 0.5 * jnp.sum((self.child.params["w"] - batch) ** 2)
+
+    meta = MetaP("meta", module=from_fn(lambda p: p["w"], {"w": jnp.zeros(D)}),
+                 optimizer=optim.sgd(lr=0.1),
+                 train_data_loader=[jnp.asarray(T_OUTER)],
+                 config=Config(first_order=False))
+    child = Probe("child", module=from_fn(lambda p: p["w"], {"w": jnp.zeros(D)}),
+                  optimizer=optim.sgd(lr=0.1),
+                  train_data_loader=[jnp.asarray(T_INNER)],
+                  config=Config(unroll_steps=1))
+    engine = Engine(config=EngineConfig(train_iters=1),
+                    problems=[meta, child],
+                    dependencies={"u2l": {meta: [child]},
+                                  "l2u": {child: [meta]}})
+    # intercept the logger after init (warning fires during initialize via
+    # the real logger; assert by re-running initialize with a spy)
+    child.logger = type("L", (), {"warning": lambda self, m: warnings.append(m),
+                                  "info": lambda self, m: None,
+                                  "log": lambda self, *a, **k: None})()
+    child.initialize(engine)
+    assert any("first_order=False" in w for w in warnings), warnings
