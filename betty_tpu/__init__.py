@@ -10,6 +10,16 @@ lax.scan unrolls, and sharding-based distribution over a jax device mesh.
 
 __version__ = "0.1.0"
 
+# Multi-process cluster join must precede ANY backend initialization (the
+# first jnp array a user builds), so it happens at import when the
+# environment requests it (BETTY_COORDINATOR_ADDRESS / JAX_COORDINATOR_
+# ADDRESS); a no-op otherwise. Engine.configure_systems calls it again
+# idempotently. Counterpart of torchrun's process-group bootstrap
+# (reference betty/engine.py:166-179).
+from betty_tpu.parallel.mesh import maybe_init_distributed as _init_dist
+
+_init_dist()
+
 from betty_tpu.configs import Config, EngineConfig
 from betty_tpu.engine import Engine
 from betty_tpu.problems import (

@@ -127,6 +127,10 @@ class EngineConfig:
     # dispatch through proxied/tunneled TPU runtimes (e.g. axon); turn on
     # for direct-attached TPUs when HBM-bound.
     donate_state: bool = False
+    # Multi-process: automatically shard ArrayLoaders per host (each process
+    # loads examples i::N; the global batch is local x process_count). Set
+    # False to manage per-host data yourself.
+    autoshard_data: bool = True
     # jax.profiler trace directory; None disables.
     profile_dir: Optional[str] = None
     # checkpointing

@@ -22,7 +22,12 @@ import jax
 from betty_tpu.configs import EngineConfig
 from betty_tpu.logging import logger
 from betty_tpu.misc.early_stopping import EarlyStopping
-from betty_tpu.parallel import batch_sharding, make_mesh, shard_state
+from betty_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    maybe_init_distributed,
+    shard_state,
+)
 from betty_tpu.utils import log_from_loss_dict
 
 
@@ -71,7 +76,11 @@ class Engine:
 
     def configure_systems(self):
         """Build the device mesh for the configured strategy
-        (TPU-native replacement of reference ``engine.py:166-199``)."""
+        (TPU-native replacement of reference ``engine.py:166-199``).
+        Multi-process clusters (TPU pod slices, the 2-process CPU test) are
+        joined first; the mesh then spans all processes' devices and one
+        controller program drives them (SURVEY.md §5.8)."""
+        maybe_init_distributed()
         strategy = self._strategy
         if strategy in ("distributed", "dp", "zero", "fsdp") or (
             self.config.mesh_shape is not None
@@ -218,7 +227,17 @@ class Engine:
 
     def run(self):
         if self.config.compile_blocks:
-            return self.run_compiled()
+            if jax.process_count() > 1:
+                # block staging currently assembles per-segment transfers
+                # process-locally; multi-host runs use the (equivalent-
+                # numerics) driver until the staging path is multi-host-aware
+                if self.is_rank_zero():
+                    self.logger.info(
+                        "[compile_blocks] multi-process run: falling back "
+                        "to driver mode"
+                    )
+            else:
+                return self.run_compiled()
         self.train()
         if self.config.profile_dir:
             jax.profiler.start_trace(self.config.profile_dir)

@@ -1,7 +1,9 @@
 from betty_tpu.parallel.mesh import (
     batch_sharding,
     fsdp_shardings,
+    make_global_batch,
     make_mesh,
+    maybe_init_distributed,
     replicated,
     shard_state,
 )
@@ -12,4 +14,6 @@ __all__ = [
     "replicated",
     "fsdp_shardings",
     "shard_state",
+    "make_global_batch",
+    "maybe_init_distributed",
 ]

@@ -130,3 +130,39 @@ def make_global_batch(local_batch, mesh: Mesh, axis: str = "dp"):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         local_batch,
     )
+
+
+def maybe_init_distributed():
+    """Join a multi-process JAX cluster when the environment says so.
+
+    Counterpart of the reference's ``dist.init_process_group`` under
+    torchrun (``betty/engine.py:166-179``). Two triggers:
+
+    * ``BETTY_COORDINATOR_ADDRESS`` + ``BETTY_NUM_PROCESSES`` +
+      ``BETTY_PROCESS_ID`` — explicit cluster spec (used by the 2-process
+      CPU test and by hand-rolled launchers);
+    * ``JAX_COORDINATOR_ADDRESS`` present — defer to
+      ``jax.distributed.initialize()`` auto-detection (TPU pods, SLURM).
+
+    Idempotent: repeated calls (multiple Engines in one process) no-op.
+    """
+    import os
+
+    if getattr(maybe_init_distributed, "_done", False):
+        return
+    addr = os.environ.get("BETTY_COORDINATOR_ADDRESS")
+    try:
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ["BETTY_NUM_PROCESSES"]),
+                process_id=int(os.environ["BETTY_PROCESS_ID"]),
+            )
+            maybe_init_distributed._done = True
+        elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize()
+            maybe_init_distributed._done = True
+    except RuntimeError as e:  # already initialized by the user
+        if "already initialized" not in str(e).lower():
+            raise
+        maybe_init_distributed._done = True

@@ -332,6 +332,19 @@ class Problem(abc.ABC):
             if not isinstance(self.train_data_loader, tuple):
                 self.train_data_loader = (self.train_data_loader,)
             self.train_data_loader = list(self.train_data_loader)
+            # multi-process: each host loads its example shard; the global
+            # batch (local_batch x process_count, sharded over dp) is
+            # assembled in _convert_batch. Transparent like the reference's
+            # DistributedBatchSampler patch (betty/patch/data_loader.py:85).
+            if jax.process_count() > 1 and getattr(
+                engine.config, "autoshard_data", True
+            ):
+                from betty_tpu.data import ArrayLoader, shard_loader
+
+                self.train_data_loader = [
+                    shard_loader(dl) if isinstance(dl, ArrayLoader) else dl
+                    for dl in self.train_data_loader
+                ]
             self.train_data_iterator = [iter(dl) for dl in self.train_data_loader]
             self.epoch_counter = [0 for _ in self.train_data_loader]
             # batches consumed within the current epoch, per loader — the
@@ -764,6 +777,14 @@ class Problem(abc.ABC):
                 if isinstance(x, jax.Array):
                     return x
                 return np.asarray(x)
+        elif jax.process_count() > 1 and self.device_sharding is not None:
+            # multi-host: this process's local batch is one shard of the
+            # global batch (global size = local x process_count, sharded
+            # over dp across all hosts)
+            def put(x):
+                return jax.make_array_from_process_local_data(
+                    self.device_sharding, np.asarray(x)
+                )
         else:
             def put(x):
                 arr = jnp.asarray(x) if not isinstance(x, jax.Array) else x
