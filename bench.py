@@ -1,16 +1,26 @@
-"""Headline benchmark: meta-steps/sec on Meta-Weight-Net CIFAR-10 reweighting
-(ResNet-32 classifier + MLP reweighter, darts solver, unroll=1) — the primary
-metric named in BASELINE.json.
+"""Headline benchmark: Meta-Weight-Net reweighting (ResNet-32 classifier +
+MLP reweighter) — BASELINE.json's primary metric, measured honestly:
 
-Prints ONE JSON line:
-  {"metric": "mwn_meta_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": R}
+* meta-steps/sec for **darts, cg, neumann** (median of timing windows =
+  sustained; peak also reported — the shared test chip shows run-to-run
+  contention),
+* **MFU** from the compiled block's XLA cost analysis against the chip's
+  bf16 peak,
+* **framework overhead** vs a hand-written single-purpose JAX implementation
+  of the identical MWN meta-step (same models, solver math, optimizers —
+  the delta is what the framework costs),
+* **wall-clock to target validation accuracy** on the CI-runnable
+  reweighting-under-label-noise workload (cg solver; BASELINE.md names
+  CG/Neumann for this metric),
+* **fused Pallas vector ops** speedup for the CG loop on a ~25M-parameter
+  model (TPU only).
 
-``vs_baseline`` compares against the reference implementation
-(leopard-ai/betty + torch) executed on the same workload shapes on this
-machine's CPU (the only hardware the reference can use here; it publishes no
-throughput numbers of its own — BASELINE.md). The reference measurement is
-cached in .bench_reference_cache.json.
+Prints ONE JSON line. ``value`` is the darts *median* meta-steps/s;
+``vs_baseline`` compares against the reference (leopard-ai/betty + torch)
+executed on the same workload shapes on this machine's CPU — the only
+hardware the reference can use here (it publishes no throughput numbers,
+BASELINE.md) — so it is a TPU-vs-host-CPU ratio, NOT hardware-normalized;
+the ``note`` field says so.
 """
 
 import json
@@ -23,62 +33,407 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 CACHE = Path(__file__).resolve().parent / ".bench_reference_cache.json"
 
-META_STEPS_WARMUP = 3
 META_STEPS_TIMED = 96
 BATCH = 128
 
+# bf16 peak FLOP/s per chip (public spec sheets), keyed on device_kind
+# substrings; used for the MFU denominator.
+PEAK_BF16 = (
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5", 197e12),     # v5e ("TPU v5 lite")
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
 
-def bench_ours():
-    """Compiled-block mode with device-resident data (the TPU execution
-    path), K=8 periods per dispatch. Timing is synced with an actual device
-    readback (block_until_ready can return early through the tunneled axon
-    runtime). The shared test chip shows run-to-run contention; report the
-    best of several windows (peak sustained rate)."""
-    sys.path.insert(0, str(Path(__file__).resolve().parent / "examples" / "learning_to_reweight"))
-    from main import build_engine, parse_args  # noqa: E402
 
+def peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_BF16:
+        if key in kind:
+            return val, kind
+    return None, kind
+
+
+def _sync(engine):
     import jax
     import numpy as np
 
+    return float(
+        np.asarray(
+            jax.tree_util.tree_leaves(engine.states["classifier"]["params"])[0]
+        ).ravel()[0]
+    )
+
+
+def bench_solver(solver):
+    """Compiled-block mode with device-resident data (the TPU execution
+    path), K periods per dispatch. Timing is synced with an actual device
+    readback. Returns (median, peak, flops_per_meta_step|None)."""
+    import statistics
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "examples" / "learning_to_reweight"))
+    from main import build_engine, parse_args  # noqa: E402
+
     from betty_tpu.compile import BlockRunner
 
-    args = parse_args([
+    argv = [
         "--train_iters", "0",
         "--batch_size", str(BATCH),
         "--train_size", str(BATCH * 16),
         "--meta_size", str(BATCH * 8),
         "--device_data",
-    ])
-    engine = build_engine(args)
+        "--solver", solver,
+    ]
+    if solver == "cg":
+        argv += ["--cg_iterations", "3", "--cg_alpha", "1.0"]
+    if solver == "neumann":
+        argv += ["--neumann_iterations", "5", "--neumann_alpha", "0.01"]
+    engine = build_engine(parse_args(argv))
     engine.train()
     K = 32
     runner = BlockRunner(engine, scan_periods=K)
 
-    def sync():
-        # force completion with a real device->host readback
-        return float(
-            np.asarray(
-                jax.tree_util.tree_leaves(
-                    engine.states["classifier"]["params"]
-                )[0]
-            ).ravel()[0]
-        )
-
-    # warmup (compile + first transfers)
-    for _ in range(2):
+    for _ in range(2):  # warmup (compile + first transfers)
         runner.run_block()
-    sync()
+    _sync(engine)
 
     rates = []
-    for _ in range(4):
+    for _ in range(5):
         n_blocks = max(1, META_STEPS_TIMED // K)
         t0 = time.perf_counter()
         for _ in range(n_blocks):
             runner.run_block()
-        sync()
+        _sync(engine)
         t1 = time.perf_counter()
         rates.append(n_blocks * K / (t1 - t0))
-    return max(rates)
+
+    flops = None
+    if solver == "darts":
+        try:
+            compiled = runner._jit_block.lower(
+                *runner._last_abstract_args
+            ).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost["flops"]) / K  # per meta-step
+        except Exception as e:  # pragma: no cover
+            print(f"# cost analysis unavailable: {e!r}", file=sys.stderr)
+    return statistics.median(rates), max(rates), flops
+
+
+def bench_handwritten():
+    """Hand-written single-purpose JAX MWN meta-step — identical math to the
+    framework's darts path (same models/optimizers/shapes, lax.scan over
+    K steps, device-resident data), with zero framework machinery. The
+    framework's throughput relative to this is the real overhead figure."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from betty_tpu import optim
+    from betty_tpu.models import MetaWeightNet, ResNet32
+
+    K = 32
+    R = 0.01  # darts_alpha default
+    resnet, mwn = ResNet32(10), MetaWeightNet()
+    sample = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+    vc = resnet.init(jax.random.PRNGKey(0), sample, train=False)
+    vm = mwn.init(jax.random.PRNGKey(1), jnp.zeros((BATCH,)), train=False)
+    pc, bs = vc["params"], vc.get("batch_stats", {})
+    pm = vm["params"]
+
+    tx_c = optim.sgd(lr=0.1, momentum=0.9, weight_decay=5e-4, nesterov=True).tx
+    tx_m = optim.adam(lr=1e-5).tx
+    oc, om = tx_c.init(pc), tx_m.init(pm)
+
+    rng = np.random.RandomState(0)
+    x_tr = jax.device_put(rng.randn(BATCH * 16, 32, 32, 3).astype(np.float32))
+    y_tr = jax.device_put(rng.randint(0, 10, BATCH * 16).astype(np.int32))
+    x_me = jax.device_put(rng.randn(BATCH * 8, 32, 32, 3).astype(np.float32))
+    y_me = jax.device_put(rng.randint(0, 10, BATCH * 8).astype(np.int32))
+
+    def ce_vec(logits, y):
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y)
+
+    def meta_step(carry, idx):
+        pc, bs, oc, pm, om = carry
+        tr_idx, me_idx = idx
+        xb, yb = x_tr[tr_idx], y_tr[tr_idx]
+
+        def inner_loss(pc_, pm_):
+            logits, mut = resnet.apply(
+                {"params": pc_, "batch_stats": bs}, xb, train=True,
+                mutable=["batch_stats"],
+            )
+            ce = ce_vec(logits, yb)
+            w = mwn.apply({"params": pm_}, jax.lax.stop_gradient(ce), train=True)
+            return jnp.mean(w * ce), mut["batch_stats"]
+
+        (loss, new_bs), gc = jax.value_and_grad(inner_loss, has_aux=True)(pc, pm)
+        upd, oc = tx_c.update(gc, oc, pc)
+        pc = jax.tree_util.tree_map(lambda p, u: p + u, pc, upd)
+
+        # outer (darts): v = d meta_loss / d pc, central difference for pm
+        xm, ym = x_me[me_idx], y_me[me_idx]
+
+        def meta_loss(pc_):
+            logits, _ = resnet.apply(
+                {"params": pc_, "batch_stats": new_bs}, xm, train=True,
+                mutable=["batch_stats"],  # train-mode fwd; stats discarded
+            )
+            return ce_vec(logits, ym).mean()
+
+        v = jax.grad(meta_loss)(pc)
+        vnorm = jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(v)))
+        eps = R / (vnorm + 1e-15)
+
+        def inner_wrt_pm(pm_, pc_):
+            logits, _ = resnet.apply(
+                {"params": pc_, "batch_stats": bs}, xb, train=True,
+                mutable=["batch_stats"],  # perturbed fwd; stats discarded
+            )
+            ce = ce_vec(logits, yb)
+            w = mwn.apply({"params": pm_}, jax.lax.stop_gradient(ce),
+                          train=True)
+            return jnp.mean(w * ce)
+
+        ax = lambda a, t1, t2: jax.tree_util.tree_map(lambda x, y: x + a * y, t1, t2)
+        gp = jax.grad(inner_wrt_pm)(pm, ax(eps, pc, v))
+        gn = jax.grad(inner_wrt_pm)(pm, ax(-eps, pc, v))
+        hyper = jax.tree_util.tree_map(lambda n, p: (n - p) / (2 * eps), gn, gp)
+        updm, om = tx_m.update(hyper, om, pm)
+        pm = jax.tree_util.tree_map(lambda p, u: p + u, pm, updm)
+        return (pc, new_bs, oc, pm, om), loss
+
+    @jax.jit
+    def run_k(carry, idxs):
+        return jax.lax.scan(meta_step, carry, idxs)
+
+    ridx = np.random.RandomState(1)
+    def idxs():
+        return (
+            jnp.asarray(ridx.randint(0, BATCH * 16, (K, BATCH)), jnp.int32),
+            jnp.asarray(ridx.randint(0, BATCH * 8, (K, BATCH)), jnp.int32),
+        )
+
+    carry = (pc, bs, oc, pm, om)
+    carry, _ = run_k(carry, idxs())  # compile
+    jax.tree_util.tree_leaves(carry)[0].block_until_ready()
+
+    rates = []
+    for _ in range(5):
+        n_blocks = max(1, META_STEPS_TIMED // K)
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            carry, _ = run_k(carry, idxs())
+        jax.tree_util.tree_leaves(carry)[0].block_until_ready()
+        t1 = time.perf_counter()
+        rates.append(n_blocks * K / (t1 - t0))
+    return max(rates)  # best window: least contention-contaminated
+
+
+def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50):
+    """Wall-clock (incl. compile) to reach target clean-test accuracy on the
+    reweighting-under-40%-label-noise workload, cg solver (BASELINE.md's
+    named metric, CI-runnable form)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+    from betty_tpu.compile import BlockRunner
+    from betty_tpu.data import ArrayLoader
+    from betty_tpu.models import MLP, MetaWeightNet
+    from betty_tpu.module import from_flax
+
+    DIM, N = 32, 2048
+    rng = np.random.RandomState(0)
+
+    def make_clean(n, seed):
+        r = np.random.RandomState(seed)
+        y = r.randint(0, 2, n)
+        protos = np.stack([np.ones(DIM), -np.ones(DIM)])
+        x = (protos[y] * 0.4 + r.randn(n, DIM)).astype(np.float32)
+        return x, y.astype(np.int32)
+
+    x_tr, y_tr = make_clean(N, 0)
+    flips = rng.rand(N) < 0.4
+    y_tr = np.where(flips, 1 - y_tr, y_tr).astype(np.int32)
+    x_me, y_me = make_clean(256, 1)
+    x_te, y_te = make_clean(2048, 2)
+
+    class RW(ImplicitProblem):
+        def training_step(self, batch):
+            x, y = batch
+            logits = self.classifier(x)
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    class Clf(ImplicitProblem):
+        def training_step(self, batch):
+            x, y = batch
+            logits = self.module(x)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            w = self.rw(jax.lax.stop_gradient(ce))
+            return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    t_start = time.perf_counter()
+    clf = Clf("classifier",
+              module=from_flax(MLP(features=[128, 64, 2]), jnp.zeros((128, DIM)),
+                               rng=jax.random.PRNGKey(0)),
+              optimizer=optim.sgd(lr=0.01, momentum=0.9),
+              train_data_loader=ArrayLoader(x_tr, y_tr, batch_size=128,
+                                            device=True),
+              config=Config(type="cg", cg_iterations=3, cg_alpha=1.0))
+    rw = RW("rw",
+            module=from_flax(MetaWeightNet(), jnp.zeros((128,)),
+                             rng=jax.random.PRNGKey(1), train_kwarg="train"),
+            optimizer=optim.adam(lr=3e-3),
+            train_data_loader=ArrayLoader(x_me, y_me, batch_size=128, seed=1,
+                                          device=True),
+            config=Config())
+    engine = Engine(config=EngineConfig(train_iters=max_iters),
+                    problems=[rw, clf],
+                    dependencies={"u2l": {rw: [clf]}, "l2u": {clf: [rw]}})
+    engine.train()
+    runner = BlockRunner(engine, scan_periods=check_every)
+
+    x_te_d, y_te_d = jnp.asarray(x_te), np.asarray(y_te)
+
+    def acc():
+        logits = clf.module_fn.apply_fn(
+            {"params": engine.states["classifier"]["params"],
+             **engine.states["classifier"]["extra"]}, x_te_d
+        )
+        return float((np.asarray(logits).argmax(1) == y_te_d).mean())
+
+    steps = 0
+    reached = None
+    while steps < max_iters:
+        runner.run_block()
+        steps += check_every
+        if acc() >= target_acc:
+            reached = steps
+            break
+    seconds = time.perf_counter() - t_start
+    return {
+        "target_acc": target_acc,
+        "seconds": round(seconds, 2),
+        "meta_steps": reached if reached is not None else -1,
+        "final_acc": round(acc(), 4),
+        "solver": "cg",
+        "includes_compile": True,
+    }
+
+
+def bench_fused_ops(cg_iterations=10):
+    """CG hypergradient on a ~25M-param MLP: fused Pallas vector kernels vs
+    pure-XLA tree math (VERDICT r1 #8). TPU only (interpret mode on CPU
+    would measure nothing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    if jax.default_backend() != "tpu":
+        return None
+
+    from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+    from betty_tpu.models import MLP
+    from betty_tpu.module import from_flax, from_fn
+
+    D, B = 2500, 256
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, B).astype(np.int32))
+    xv = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    yv = jnp.asarray(rng.randint(0, 10, B).astype(np.int32))
+
+    class Outer(ImplicitProblem):
+        def training_step(self, batch):
+            bx, by = batch
+            return optax.softmax_cross_entropy_with_integer_labels(
+                self.inner(bx), by
+            ).mean()
+
+    class Inner(ImplicitProblem):
+        def training_step(self, batch):
+            bx, by = batch
+            logits = self.module(bx)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, by)
+            l2 = sum(jnp.sum(p * p)
+                     for p in jax.tree_util.tree_leaves(self.params))
+            return ce.mean() + 0.5 * self.outer()[0] * l2
+
+    def build(fused):
+        outer = Outer("outer", module=from_fn(lambda p: p["w"],
+                                              {"w": jnp.full((1,), 1e-4)}),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=[(xv, yv)], config=Config())
+        inner = Inner("inner",
+                      module=from_flax(MLP(features=[D, D, D, D, 10]),
+                                       jnp.zeros((B, D)),
+                                       rng=jax.random.PRNGKey(0)),
+                      optimizer=optim.sgd(lr=0.01),
+                      train_data_loader=[(x, y)],
+                      config=Config(type="cg", cg_iterations=cg_iterations,
+                                    cg_alpha=1.0,
+                                    use_fused_vector_ops=fused))
+        engine = Engine(config=EngineConfig(train_iters=1),
+                        problems=[outer, inner],
+                        dependencies={"u2l": {outer: [inner]},
+                                      "l2u": {inner: [outer]}})
+        return engine, outer, inner
+
+    def timed(fused):
+        """Time the jitted CG hypergradient solve in isolation (the code the
+        kernels change); the full outer update adds identical work in both
+        modes."""
+        from betty_tpu.hypergradient.cg import cg as cg_solver
+        from betty_tpu.problems.problem import ctx_replace
+
+        engine, outer, inner = build(fused)
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(engine.states["inner"]["params"]))
+        ctx = {n: {"params": s["params"], "extra": s["extra"]}
+               for n, s in engine.states.items()}
+        rng_key = jax.random.PRNGKey(0)
+
+        def outer_loss(ip):
+            c = ctx_replace(ctx, "inner", ip)
+            loss, _, _ = outer.eval_loss(c, (xv, yv))
+            return loss
+
+        v = jax.grad(outer_loss)(ctx["inner"]["params"])
+        solve = jax.jit(
+            lambda vec: cg_solver(vec, inner, outer, ctx, engine.states,
+                                  (x, y), rng_key)
+        )
+        r = solve(v)
+        jax.tree_util.tree_leaves(r)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(8):
+            r = solve(v)
+        jax.tree_util.tree_leaves(r)[0].block_until_ready()
+        return (time.perf_counter() - t0) / 8, n_params
+
+    plain_s, n_params = timed(False)
+    fused_s, _ = timed(True)
+    return {
+        "model_params": n_params,
+        "cg_iterations": cg_iterations,
+        "plain_ms": round(plain_s * 1e3, 2),
+        "fused_ms": round(fused_s * 1e3, 2),
+        "speedup": round(plain_s / fused_s, 3),
+        "verdict": "xla-wins-in-context" if fused_s > plain_s
+                   else "fused-kernels-win",
+    }
 
 
 def bench_reference():
@@ -115,14 +470,49 @@ def _run_reference(ref_root):
 
 
 def main():
-    ours = bench_ours()
+    solvers = {}
+    flops_per_step = None
+    for solver in ("darts", "cg", "neumann"):
+        med, peak, flops = bench_solver(solver)
+        solvers[solver] = {"median": round(med, 3), "peak": round(peak, 3)}
+        if flops:
+            flops_per_step = flops
+
+    # two passes against shared-chip contention: a single pass can land
+    # entirely in a noisy window and make the overhead figure meaningless
+    handwritten = max(bench_handwritten(), bench_handwritten())
+    overhead_pct = 100.0 * (1.0 - solvers["darts"]["peak"] / handwritten)
+
+    mfu = None
+    peak, kind = peak_flops()
+    if flops_per_step and peak:
+        mfu = flops_per_step * solvers["darts"]["median"] / peak
+
+    wallclock = bench_wallclock_to_acc()
+    fused = bench_fused_ops()
     ref = bench_reference()
-    vs = (ours / ref) if ref else 1.0
+    vs = (solvers["darts"]["median"] / ref) if ref else 1.0
+
     print(json.dumps({
         "metric": "mwn_meta_steps_per_sec",
-        "value": round(ours, 3),
+        "value": solvers["darts"]["median"],
         "unit": "steps/s",
         "vs_baseline": round(vs, 3),
+        "solvers": solvers,
+        "handwritten_jax_peak_steps_per_sec": round(handwritten, 3),
+        # peak-vs-peak: both sides' best windows (shared-chip contention
+        # makes window-matched medians incomparable across the two programs)
+        "framework_overhead_pct": round(overhead_pct, 2),
+        "model_gflops_per_meta_step":
+            round(flops_per_step / 1e9, 3) if flops_per_step else None,
+        "mfu_vs_bf16_peak": round(mfu, 5) if mfu is not None else None,
+        "device_kind": kind,
+        "precision": "fp32",
+        "wallclock_to_acc": wallclock,
+        "fused_vector_ops": fused,
+        "note": "vs_baseline is TPU-vs-reference-on-host-CPU (reference "
+                "publishes no throughput numbers); not hardware-normalized. "
+                "median = sustained, peak = best window on the shared chip.",
     }))
 
 

@@ -403,6 +403,13 @@ class BlockRunner:
             name: jnp.asarray(self.problems[name]._count, jnp.int32)
             for name in self.problems
         }
+        # abstract arg shapes for AOT cost analysis (bench.py MFU line);
+        # ShapeDtypeStructs stay valid even when the call donates its inputs
+        self._last_abstract_args = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x,
+            (engine.states, seg_batches, counts0, self.datasets),
+        )
         new_states, last_loss = self._jit_block(
             engine.states, seg_batches, counts0, self.datasets
         )

@@ -40,9 +40,15 @@ def register_solver(name: str, fn):
     jvp_fn_mapping[name] = fn
 
 
-def compute_path_grads(problem, ctx, states, batch, path_batches, rng, gas):
+def compute_path_grads(problem, ctx, states, batch, path_batches, rng, gas,
+                       v_by_child=None):
     """Sum of hypergradient contributions over all of ``problem``'s paths
     (reference ``problem.py:572-581`` + ``hypergradient/__init__.py:22-39``).
+
+    ``v_by_child``: per-child starting vectors already computed by the
+    caller's joint backward pass (one backward serves the direct gradient
+    and every path's v); None = compute here (the bf16-training +
+    fp32-solver precision split needs the separate fp32 evaluation).
 
     Returns a gradient pytree matching ``problem``'s params.
     """
@@ -54,17 +60,20 @@ def compute_path_grads(problem, ctx, states, batch, path_batches, rng, gas):
     for path in problem.paths:
         child = path[1]
 
-        def child_loss(child_params, _child=child):
-            c = ctx_replace(ctx, _child.name, child_params)
-            loss, _, _ = problem.eval_loss(c, batch, rng=rng)
-            return loss / gas
+        if v_by_child is not None:
+            v = v_by_child[child.name]
+        else:
+            def child_loss(child_params, _child=child):
+                c = ctx_replace(ctx, _child.name, child_params)
+                loss, _, _ = problem.eval_loss(c, batch, rng=rng)
+                return loss / gas
 
-        # solver_precision="fp32": the whole hypergradient pipeline (direct
-        # cross-gradient + each solver edge) runs without the bf16 cast —
-        # central differences and HVPs are noise-dominated in bf16
-        # (tests/test_bf16.py measures the difference)
-        with force_fp32(problem.config.solver_precision == "fp32"):
-            v = jax.grad(child_loss)(ctx[child.name]["params"])
+            # solver_precision="fp32": the whole hypergradient pipeline
+            # (direct cross-gradient + each solver edge) runs without the
+            # bf16 cast — central differences and HVPs are noise-dominated
+            # in bf16 (tests/test_bf16.py measures the difference)
+            with force_fp32(problem.config.solver_precision == "fp32"):
+                v = jax.grad(child_loss)(ctx[child.name]["params"])
         v = child.meta_filter_grad(v)
 
         for i in range(1, len(path) - 1):

@@ -274,10 +274,14 @@ class Problem(abc.ABC):
 
     @property
     def rng(self):
-        """Per-step PRNG key available inside ``training_step``."""
+        """Per-step PRNG key available inside ``training_step``. On the host
+        (validation-time calls) the key advances with the local step, like
+        the traced per-step folding in ``one_step_descent``."""
         if _TRACE_RNG is not None:
             return _TRACE_RNG
-        return jax.random.PRNGKey(self._rng_seed)
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self._rng_seed), self._count
+        )
 
     # ------------------------------------------------------------------
     # initialization (reference problem.py:114-196)
@@ -367,6 +371,16 @@ class Problem(abc.ABC):
     def init_state(self, rng=None) -> Dict[str, Any]:
         """Build the initial state pytree for this problem."""
         variables = dict(self.module_fn.init(rng if rng is not None else jax.random.PRNGKey(0)))
+
+        def strong(x):
+            # drop weak types (Python-scalar-derived inits like
+            # jnp.zeros/jnp.full): the first optimizer update produces
+            # strong-typed params, and a weak->strong aval change would
+            # force a FULL second compile of every jitted update
+            x = jnp.asarray(x)
+            return jnp.asarray(x, dtype=x.dtype)
+
+        variables = jax.tree_util.tree_map(strong, variables)
         params = variables.pop("params")
         extra = variables  # batch_stats etc.
         opt_state = self.optimizer.init(params) if self.optimizer is not None else ()
@@ -510,6 +524,27 @@ class Problem(abc.ABC):
             if hasattr(c, "replay_unroll") and not c._first_order
         ]
 
+        # one backward pass serves both the direct gradient and every path's
+        # starting vector v = d(loss)/d(child params) — the loss is the same
+        # function; two jax.grad calls would run its backward twice. The
+        # joint pass is skipped only when a precision split forces separate
+        # evaluations (bf16 training step + fp32 solver pipeline).
+        has_paths = problem._config.first_order and len(problem._paths) > 0
+        path_children = {}
+        if has_paths:
+            for path in problem._paths:
+                path_children[path[1].name] = path[1]
+        itd_names = {c.name for c in itd_children}
+        joint_v = (
+            has_paths
+            and not (
+                problem.precision in ("fp16", "bf16")
+                and problem._config.solver_precision == "fp32"
+            )
+            # an ITD replay would shadow the child-params substitution
+            and not (set(path_children) & itd_names)
+        )
+
         def update(states, batch, path_batches, itd_data, rng):
             ctx = {
                 name: {"params": s["params"], "extra": s["extra"]}
@@ -517,8 +552,10 @@ class Problem(abc.ABC):
             }
             gas = float(problem.gas)
 
-            def direct_loss(own_params):
+            def direct_loss(own_params, child_params):
                 c = ctx_replace(ctx, problem._name, own_params)
+                for name, cp in child_params.items():
+                    c = ctx_replace(c, name, cp)
                 for ch in itd_children:
                     c = ctx_replace(
                         c, ch.name, ch.replay_unroll(c, itd_data[ch.name], rng)
@@ -533,16 +570,25 @@ class Problem(abc.ABC):
                 # storing them (jax.checkpoint): FLOPs for HBM
                 direct_loss = jax.checkpoint(direct_loss)
 
-            (_, (loss_dict, mutated)), dgrad = jax.value_and_grad(
-                direct_loss, has_aux=True
-            )(ctx[problem._name]["params"])
+            child_args = (
+                {name: ctx[name]["params"] for name in path_children}
+                if joint_v else {}
+            )
+            (_, (loss_dict, mutated)), grad_out = jax.value_and_grad(
+                direct_loss, argnums=(0, 1) if joint_v else 0, has_aux=True
+            )(ctx[problem._name]["params"], child_args)
+            if joint_v:
+                dgrad, v_by_child = grad_out
+            else:
+                dgrad, v_by_child = grad_out, None
 
             grads = dgrad
             # indirect grad: best-response Jacobian chain, gated on this
             # problem's own first_order flag (reference problem.py:573)
-            if problem._config.first_order and len(problem._paths) > 0:
+            if has_paths:
                 hyper = compute_path_grads(
-                    problem, ctx, states, batch, path_batches, rng, gas
+                    problem, ctx, states, batch, path_batches, rng, gas,
+                    v_by_child=v_by_child,
                 )
                 grads = tree_add(grads, hyper)
 
@@ -831,6 +877,25 @@ class Problem(abc.ABC):
 
     def load_state_dict(self, state_dict):
         st = self.state
+        cur_def = jax.tree_util.tree_structure(st)
+        new_def = jax.tree_util.tree_structure(state_dict)
+        if cur_def != new_def:
+            raise ValueError(
+                f"load_state_dict for problem {self._name!r}: state structure "
+                f"mismatch — the checkpoint was saved from a differently-"
+                f"configured problem (e.g. other optimizer/solver/module).\n"
+                f"  current:    {cur_def}\n  checkpoint: {new_def}"
+            )
+        for cur, new in zip(jax.tree_util.tree_leaves(st),
+                            jax.tree_util.tree_leaves(state_dict)):
+            if hasattr(cur, "shape") and tuple(cur.shape) != tuple(
+                jnp.shape(new)
+            ):
+                raise ValueError(
+                    f"load_state_dict for problem {self._name!r}: leaf shape "
+                    f"mismatch {tuple(jnp.shape(new))} vs expected "
+                    f"{tuple(cur.shape)}"
+                )
         self.state = jax.tree_util.tree_map(
             lambda cur, new: jax.device_put(
                 jnp.asarray(new, dtype=cur.dtype), cur.sharding

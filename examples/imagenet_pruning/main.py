@@ -5,8 +5,10 @@ meta-weight-net reweighter <- ResNet-50 student, with an EMA teacher updated
 in ``param_callback`` (reference main.py:325-329) and a two-feature
 meta-weight input [per-example CE loss, teacher-consistency loss]
 (main.py:317-321). Gradient accumulation supported. Synthetic ImageNet-shaped
-data by default; this example is about program shape — swap in an ImageNet
-loader + ``strategy="dp"`` for the 4-chip run in the reference README.
+data by default; ``--data-dir`` ingests a classification npz
+(``x_train/y_train/x_test/y_test``, any image size — e.g. resized ImageNet
+shards) with top-1 validation accuracy. ``strategy="dp"`` reproduces the
+reference README's 4-GPU layout on a mesh.
 """
 
 import argparse
@@ -129,11 +131,45 @@ class Classifier(ImplicitProblem):
         pm._TRACE_CTX = ctx
 
 
+class PruneEngine(Engine):
+    test_data = None
+
+    def validation(self):
+        if self.test_data is None:
+            return {}
+        x, y = self.test_data
+        bs = min(256, len(y))
+        correct = n = 0
+        for i in range(0, len(y) - bs + 1, bs):
+            logits = self.classifier(jnp.asarray(x[i : i + bs]))
+            correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
+            n += bs
+        return {"top1": 100.0 * correct / max(n, 1)}
+
+
 def build_engine(args):
-    x_train, y_train = make_synthetic_imagenet(
-        args.train_size, args.num_classes, args.image_size, seed=0)
-    x_meta, y_meta = make_synthetic_imagenet(
-        args.meta_size, args.num_classes, args.image_size, seed=1)
+    test_data = None
+    if getattr(args, "data_dir", None):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from vision_data import load_classification
+
+        x_train, y_train, x_test, y_test = load_classification(args.data_dir)
+        # balanced meta split out of the train set (reference uses a held-out
+        # clean subset to drive the pruning scores)
+        rng = np.random.RandomState(0)
+        meta_idx = rng.permutation(len(y_train))[: args.meta_size]
+        mask = np.ones(len(y_train), bool)
+        mask[meta_idx] = False
+        x_meta, y_meta = x_train[meta_idx], y_train[meta_idx]
+        x_train, y_train = x_train[mask], y_train[mask]
+        args.image_size = x_train.shape[1]
+        args.num_classes = int(y_train.max()) + 1
+        test_data = (x_test, y_test)
+    else:
+        x_train, y_train = make_synthetic_imagenet(
+            args.train_size, args.num_classes, args.image_size, seed=0)
+        x_meta, y_meta = make_synthetic_imagenet(
+            args.meta_size, args.num_classes, args.image_size, seed=1)
 
     sample = jnp.zeros(
         (args.batch_size, args.image_size, args.image_size, 3), jnp.float32)
@@ -160,16 +196,19 @@ def build_engine(args):
                       log_step=args.log_step),
         extra_config={"ema_decay": args.ema_decay},
     )
-    return Engine(
+    engine = PruneEngine(
         config=EngineConfig(train_iters=args.train_iters,
+                            valid_step=getattr(args, "valid_step", 1000),
                             strategy=args.strategy),
         problems=[reweight, classifier],
         dependencies={"u2l": {reweight: [classifier]},
                       "l2u": {classifier: [reweight]}},
     )
+    engine.test_data = test_data
+    return engine
 
 
-if __name__ == "__main__":
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--image_size", type=int, default=224)
@@ -182,8 +221,14 @@ if __name__ == "__main__":
     p.add_argument("--train_size", type=int, default=256)
     p.add_argument("--meta_size", type=int, default=128)
     p.add_argument("--train_iters", type=int, default=10)
+    p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--strategy", default="default")
     p.add_argument("--log_step", type=int, default=-1)
-    args = p.parse_args()
-    engine = build_engine(args)
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="classification npz (x_train/y_train/x_test/y_test)")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    engine = build_engine(parse_args())
     engine.run()

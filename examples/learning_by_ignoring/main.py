@@ -5,8 +5,11 @@ Capability port of reference ``examples/learning_by_ignoring/main.py``
 graph ``u2l={reweight:[pretrain]}``,
 ``l2u={pretrain:[finetune, reweight], finetune:[reweight]}`` — two
 hypergradient paths into ``reweight``, darts solver on each edge,
-``unroll_steps=1``). Uses synthetic source/target domains; swap in
-OfficeHome loaders for the paper numbers.
+``unroll_steps=1``). Synthetic source/target domains by default;
+``--data-dir`` ingests an OfficeHome-style npz of pre-extracted features
+(``x_src/y_src/x_tgt/y_tgt/x_val/y_val/x_test/y_test`` — the reference
+trains on ResNet features per domain pair), with target-test accuracy
+validation.
 """
 
 import argparse
@@ -78,10 +81,47 @@ class Reweight(ImplicitProblem):
         return {"loss": loss, "acc": acc}
 
 
+class LBIEngine(Engine):
+    """Target-test accuracy of the finetuned model at each validation."""
+
+    test_data = None
+
+    def validation(self):
+        if self.test_data is None:
+            return {}
+        x, y = self.test_data
+        bs = min(256, len(y))
+        correct = n = 0
+        for i in range(0, len(y) - bs + 1, bs):
+            logits = self.finetune(jnp.asarray(x[i : i + bs]))
+            correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
+            n += bs
+        return {"test_acc": 100.0 * correct / max(n, 1)}
+
+
 def build_engine(args):
-    xs, ys = make_domain(args.n_source, args.dim, args.classes, 0, shift=0.0)
-    xt, yt = make_domain(args.n_target, args.dim, args.classes, 1, shift=0.5)
-    xv, yv = make_domain(args.n_target, args.dim, args.classes, 2, shift=0.5)
+    test_data = None
+    if getattr(args, "data_dir", None):
+        d = np.load(args.data_dir)
+        xs = np.asarray(d["x_src"], np.float32)
+        ys = np.asarray(d["y_src"], np.int32)
+        xt = np.asarray(d["x_tgt"], np.float32)
+        yt = np.asarray(d["y_tgt"], np.int32)
+        xv = np.asarray(d["x_val"], np.float32)
+        yv = np.asarray(d["y_val"], np.int32)
+        if "x_test" in d:
+            test_data = (np.asarray(d["x_test"], np.float32),
+                         np.asarray(d["y_test"], np.int32))
+        args.n_source, args.n_target = len(ys), len(yt)
+        args.dim = xs.shape[1]
+        args.classes = int(max(ys.max(), yt.max())) + 1
+    else:
+        xs, ys = make_domain(args.n_source, args.dim, args.classes, 0,
+                             shift=0.0)
+        xt, yt = make_domain(args.n_target, args.dim, args.classes, 1,
+                             shift=0.5)
+        xv, yv = make_domain(args.n_target, args.dim, args.classes, 2,
+                             shift=0.5)
 
     idx = np.arange(args.n_source, dtype=np.int32)
     src_loader = [
@@ -126,17 +166,20 @@ def build_engine(args):
         config=Config(type="darts", unroll_steps=1, log_step=args.log_step),
     )
 
-    return Engine(
-        config=EngineConfig(train_iters=args.train_iters),
+    engine = LBIEngine(
+        config=EngineConfig(train_iters=args.train_iters,
+                            valid_step=getattr(args, "valid_step", 1000)),
         problems=[reweight, finetune, pretrain],
         dependencies={
             "u2l": {reweight: [pretrain]},
             "l2u": {pretrain: [finetune, reweight], finetune: [reweight]},
         },
     )
+    engine.test_data = test_data
+    return engine
 
 
-if __name__ == "__main__":
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dim", type=int, default=32)
     p.add_argument("--classes", type=int, default=5)
@@ -147,8 +190,15 @@ if __name__ == "__main__":
     p.add_argument("--meta_lr", type=float, default=0.01)
     p.add_argument("--rho", type=float, default=0.1)
     p.add_argument("--train_iters", type=int, default=200)
+    p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
-    args = p.parse_args()
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="OfficeHome-style feature npz; synthetic if unset")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    args = parse_args()
     engine = build_engine(args)
     engine.run()
     print("ignore-score stats:",

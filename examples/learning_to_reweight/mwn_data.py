@@ -23,50 +23,14 @@ Dataset ingestion (this environment has no download egress — point
   ``y_train``, ``x_test``, ``y_test``.
 """
 
-import os
-import pickle
+import sys
+from pathlib import Path
 
 import numpy as np
 
-CIFAR_MEAN = np.array([125.3, 123.0, 113.9], np.float32) / 255.0
-CIFAR_STD = np.array([63.0, 62.1, 66.7], np.float32) / 255.0
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def _load_pickle_dir(path):
-    def batch(name):
-        with open(os.path.join(path, name), "rb") as f:
-            d = pickle.load(f, encoding="bytes")
-        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        y = np.asarray(d[b"labels"], np.int32)
-        return x, y
-
-    xs, ys = zip(*[batch(f"data_batch_{i}") for i in range(1, 6)])
-    x_train, y_train = np.concatenate(xs), np.concatenate(ys)
-    x_test, y_test = batch("test_batch")
-    return x_train, y_train, x_test, y_test
-
-
-def load_cifar10(data_dir):
-    """Load (x_train, y_train, x_test, y_test); images float32 HWC,
-    normalized."""
-    if os.path.isfile(data_dir) and data_dir.endswith(".npz"):
-        d = np.load(data_dir)
-        x_train, y_train = d["x_train"], d["y_train"]
-        x_test, y_test = d["x_test"], d["y_test"]
-    else:
-        sub = os.path.join(data_dir, "cifar-10-batches-py")
-        x_train, y_train, x_test, y_test = _load_pickle_dir(
-            sub if os.path.isdir(sub) else data_dir
-        )
-
-    def norm(x):
-        x = np.asarray(x, np.float32)
-        if x.max() > 2.0:  # uint8 range
-            x = x / 255.0
-        return (x - CIFAR_MEAN) / CIFAR_STD
-
-    return (norm(x_train), np.asarray(y_train, np.int32),
-            norm(x_test), np.asarray(y_test, np.int32))
+from vision_data import load_classification as load_cifar10  # noqa: F401
 
 
 # --------------------------------------------------------------- corruption

@@ -5,7 +5,11 @@ train_search.py``: arch problem (alphas) <- classifier problem (supernet),
 darts solver, ``roll_back=True``, genotype derived at each validation.
 TPU-first: the supernet takes alphas as a function argument (see
 betty_tpu/models/darts.py) and the whole search step runs as one or two XLA
-programs. Synthetic CIFAR-shaped data by default (no dataset egress here).
+programs. Synthetic CIFAR-shaped data by default (no dataset egress here);
+``--data-dir`` ingests real CIFAR-10 (pickle layout or npz) with the
+reference's half/half train/arch-valid split of the training set
+(reference train_search.py data section), test-set accuracy at each
+validation, and best-genotype checkpointing.
 """
 
 import argparse
@@ -53,19 +57,49 @@ class Classifier(ImplicitProblem):
 
 
 class SearchEngine(Engine):
+    test_data = None  # (x, y) when a real dataset is loaded
+    eval_batch = 256
+
     def validation(self):
         genotype = derive_genotype(self.arch.params)
         self.logger.info(f"genotype = {genotype}")
+        out = {}
+        if self.test_data is not None:
+            x, y = self.test_data
+            bs = min(self.eval_batch, len(y))
+            correct = n = 0
+            for i in range(0, len(y) - bs + 1, bs):
+                logits = self.classifier(jnp.asarray(x[i : i + bs]),
+                                         self.arch.params)
+                correct += int(
+                    (np.asarray(logits).argmax(1) == y[i : i + bs]).sum()
+                )
+                n += bs
+            out["test_acc"] = 100.0 * correct / max(n, 1)
         inputs, labels = self.arch.cur_batch
         ctx = {n: {"params": s["params"], "extra": s["extra"]}
                for n, s in self.states.items()}
         loss, _, _ = self.arch.eval_loss(ctx, (inputs, labels))
-        return {"loss": loss}
+        out["loss"] = loss
+        return out
 
 
 def build_engine(args):
-    x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
-    x_val, y_val = make_synthetic_cifar(args.train_size, seed=1)
+    test_data = None
+    if getattr(args, "data_dir", None):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from vision_data import load_classification
+
+        x_all, y_all, x_test, y_test = load_classification(args.data_dir)
+        # reference split: first half of train trains weights, second half
+        # trains the architecture (train_search.py)
+        half = len(y_all) // 2
+        x_train, y_train = x_all[:half], y_all[:half]
+        x_val, y_val = x_all[half:], y_all[half:]
+        test_data = (x_test, y_test)
+    else:
+        x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
+        x_val, y_val = make_synthetic_cifar(args.train_size, seed=1)
 
     net = DARTSNetwork(channels=args.channels, layers=args.layers,
                        num_classes=10)
@@ -93,16 +127,18 @@ def build_engine(args):
         config=Config(type="darts", unroll_steps=args.unroll_steps,
                       log_step=args.log_step),
     )
-    return SearchEngine(
+    engine = SearchEngine(
         config=EngineConfig(train_iters=args.train_iters,
                             valid_step=args.valid_step, roll_back=True),
         problems=[arch, classifier],
         dependencies={"u2l": {arch: [classifier]},
                       "l2u": {classifier: [arch]}},
     )
+    engine.test_data = test_data
+    return engine
 
 
-if __name__ == "__main__":
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--channels", type=int, default=16)
@@ -114,8 +150,12 @@ if __name__ == "__main__":
     p.add_argument("--valid_step", type=int, default=50)
     p.add_argument("--train_size", type=int, default=1024)
     p.add_argument("--log_step", type=int, default=-1)
-    args = p.parse_args()
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="CIFAR-10 pickle dir or npz; synthetic if unset")
+    return p.parse_args(argv)
 
-    engine = build_engine(args)
+
+if __name__ == "__main__":
+    engine = build_engine(parse_args())
     engine.run()
     print("final genotype:", derive_genotype(engine.arch.params))

@@ -83,8 +83,17 @@ class Classifier(ImplicitProblem):
 
 
 def build_engine(args):
-    x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
-    x_val, y_val = make_synthetic_cifar(args.train_size, seed=1)
+    if getattr(args, "data_dir", None):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from vision_data import load_classification
+
+        x_all, y_all, _, _ = load_classification(args.data_dir)
+        half = len(y_all) // 2
+        x_train, y_train = x_all[:half], y_all[:half]
+        x_val, y_val = x_all[half:], y_all[half:]
+    else:
+        x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
+        x_val, y_val = make_synthetic_cifar(args.train_size, seed=1)
 
     sample = jnp.zeros((args.batch_size, 32, 32, 3), jnp.float32)
     if getattr(args, "arch", "darts") == "mlp":
@@ -147,6 +156,8 @@ if __name__ == "__main__":
     p.add_argument("--train_size", type=int, default=1024)
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--log_step", type=int, default=-1)
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="CIFAR-10 pickle dir or npz; synthetic if unset")
     args = p.parse_args()
     engine = build_engine(args)
     engine.run()

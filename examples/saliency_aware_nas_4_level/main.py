@@ -90,9 +90,21 @@ class Inner1(ImplicitProblem):
 
 
 def build_engine(args):
-    x_tr, y_tr = make_data(args.n, args.dim, args.classes, 0)
-    x_v1, y_v1 = make_data(args.n, args.dim, args.classes, 1)
-    x_v2, y_v2 = make_data(args.n, args.dim, args.classes, 2)
+    if getattr(args, "data_dir", None):
+        # feature npz: x_train/y_train split into thirds for the 3 levels
+        d = np.load(args.data_dir)
+        x, y = np.asarray(d["x_train"], np.float32), np.asarray(d["y_train"], np.int32)
+        x = x.reshape(len(x), -1)
+        third = len(y) // 3
+        x_tr, y_tr = x[:third], y[:third]
+        x_v1, y_v1 = x[third : 2 * third], y[third : 2 * third]
+        x_v2, y_v2 = x[2 * third :], y[2 * third :]
+        args.dim = x.shape[1]
+        args.classes = int(y.max()) + 1
+    else:
+        x_tr, y_tr = make_data(args.n, args.dim, args.classes, 0)
+        x_v1, y_v1 = make_data(args.n, args.dim, args.classes, 1)
+        x_v2, y_v2 = make_data(args.n, args.dim, args.classes, 2)
 
     def loader(x, y):
         return [(x[i : i + args.batch], y[i : i + args.batch])
@@ -148,6 +160,8 @@ if __name__ == "__main__":
     p.add_argument("--unroll2", type=int, default=2)
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--log_step", type=int, default=-1)
+    p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
+                   help="classification npz (x_train/y_train); synthetic if unset")
     args = p.parse_args()
     engine = build_engine(args)
     engine.run()
