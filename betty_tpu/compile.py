@@ -240,6 +240,9 @@ class BlockRunner:
                 and dl[0].drop_last
                 and type(p).get_batch is _ProblemBase.get_batch
                 and not type(p).__dict__.get("epoch_callback")
+                # multi-process: per-host dataset shards can't serve global
+                # in-block gathers; those problems use the host-staging path
+                and jax.process_count() == 1
             ):
                 self.fastpath[name] = dl[0]
         if engine.mesh is None:
@@ -338,10 +341,15 @@ class BlockRunner:
 
     def _device_put_segments(self, seg_batches, extra_leading_axes):
         """One transfer per segment, sharding the batch axis when a mesh is
-        active (the batch axis sits behind the staging axes)."""
+        active (the batch axis sits behind the staging axes). Multi-process:
+        each host stages its LOCAL batches; the global segment array
+        (batch axis = local x process_count, dp-sharded across all hosts) is
+        assembled via make_array_from_process_local_data."""
+        import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = self.engine.mesh
+        multiproc = jax.process_count() > 1
         out = []
         for seg, batch, lead in zip(self.segments, seg_batches, extra_leading_axes):
             if batch is None:
@@ -357,7 +365,12 @@ class BlockRunner:
 
             def put(x, _lead=lead):
                 spec = P(*([None] * _lead), "dp")
-                return jax.device_put(x, NamedSharding(mesh, spec))
+                sharding = NamedSharding(mesh, spec)
+                if multiproc:
+                    return jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)
+                    )
+                return jax.device_put(x, sharding)
 
             out.append(jax.tree_util.tree_map(put, batch))
         return out
@@ -399,8 +412,10 @@ class BlockRunner:
             for seg in self.segments
         ]
         seg_batches = self._device_put_segments(seg_batches, leads)
+        # host values (not device arrays): under multi-process jit they are
+        # broadcast as replicated inputs across all hosts' devices
         counts0 = {
-            name: jnp.asarray(self.problems[name]._count, jnp.int32)
+            name: np.int32(self.problems[name]._count)
             for name in self.problems
         }
         # abstract arg shapes for AOT cost analysis (bench.py MFU line);

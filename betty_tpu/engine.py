@@ -227,17 +227,7 @@ class Engine:
 
     def run(self):
         if self.config.compile_blocks:
-            if jax.process_count() > 1:
-                # block staging currently assembles per-segment transfers
-                # process-locally; multi-host runs use the (equivalent-
-                # numerics) driver until the staging path is multi-host-aware
-                if self.is_rank_zero():
-                    self.logger.info(
-                        "[compile_blocks] multi-process run: falling back "
-                        "to driver mode"
-                    )
-            else:
-                return self.run_compiled()
+            return self.run_compiled()
         self.train()
         if self.config.profile_dir:
             jax.profiler.start_trace(self.config.profile_dir)

@@ -39,29 +39,43 @@ def main():
 
     train, valid = make_data(n=256)
 
-    outer = Outer("outer", module=parent_module(),
-                  optimizer=optim.sgd(lr=1.0, momentum=0.9),
-                  train_data_loader=ArrayLoader(
-                      np.asarray(valid[0]), np.asarray(valid[1]),
-                      batch_size=16, shuffle=False),
-                  config=Config())
-    inner = Inner("inner", module=child_module(),
-                  optimizer=optim.sgd(lr=0.1),
-                  train_data_loader=ArrayLoader(
-                      np.asarray(train[0]), np.asarray(train[1]),
-                      batch_size=16, shuffle=False),
-                  config=Config(unroll_steps=4))
-    engine = Engine(
-        config=EngineConfig(train_iters=24, strategy="dp"),
-        problems=[outer, inner],
-        dependencies={"u2l": {outer: [inner]}, "l2u": {inner: [outer]}},
-    )
+    def build(compile_blocks):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0, momentum=0.9),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=16, shuffle=False),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=16, shuffle=False),
+                      config=Config(unroll_steps=4))
+        engine = Engine(
+            config=EngineConfig(train_iters=24, strategy="dp",
+                                compile_blocks=compile_blocks),
+            problems=[outer, inner],
+            dependencies={"u2l": {outer: [inner]}, "l2u": {inner: [outer]}},
+        )
+        return engine, inner
+
+    engine, inner = build(False)
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.devices()) == 2
     # per-host shard: fixture train = 128 examples -> 64 local, 4 local
     # batches of 16 per epoch (matching the 1-process run's 4 batches of 32)
     assert inner.train_data_loader[0].n == 64
     engine.run()
+
+    # compiled-block mode on the same 2-process cluster must match driver
+    # mode (host-staged segments assembled as globally-sharded arrays)
+    engine_b, _ = build(True)
+    engine_b.run()
+    w_d = np.asarray(jax.device_get(engine.states["inner"]["params"]["w"]))
+    w_b = np.asarray(jax.device_get(engine_b.states["inner"]["params"]["w"]))
+    assert np.max(np.abs(w_d - w_b)) < 1e-5, np.max(np.abs(w_d - w_b))
+    print("BLOCK_OK", jax.process_index())
 
     if jax.process_index() == 0:
         np.savez(

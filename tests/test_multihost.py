@@ -90,6 +90,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     for p, o in zip(procs, outputs):
         assert p.returncode == 0, o[-2000:]
         assert "WORKER_OK" in o, o[-2000:]
+        assert "BLOCK_OK" in o, o[-2000:]  # block mode == driver, 2 hosts
 
     data = np.load(str(out))
     err_i = np.max(np.abs(data["inner"] - w_inner_1p))
