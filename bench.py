@@ -69,7 +69,7 @@ def _sync(engine):
     )
 
 
-def bench_solver(solver):
+def bench_solver(solver, precision="fp32"):
     """Compiled-block mode with device-resident data (the TPU execution
     path), K periods per dispatch. Timing is synced with an actual device
     readback. Returns (median, peak, flops_per_meta_step|None)."""
@@ -87,6 +87,7 @@ def bench_solver(solver):
         "--meta_size", str(BATCH * 8),
         "--device_data",
         "--solver", solver,
+        "--precision", precision,
     ]
     if solver == "cg":
         argv += ["--cg_iterations", "3", "--cg_alpha", "1.0"]
@@ -477,6 +478,10 @@ def main():
         solvers[solver] = {"median": round(med, 3), "peak": round(peak, 3)}
         if flops:
             flops_per_step = flops
+    # bf16 inner steps + fp32 hypergradients (the default solver_precision
+    # policy): ~15% over fp32 on this workload
+    med, peak, _ = bench_solver("darts", precision="bf16")
+    solvers["darts_bf16"] = {"median": round(med, 3), "peak": round(peak, 3)}
 
     # two passes against shared-chip contention: a single pass can land
     # entirely in a noisy window and make the overhead figure meaningless

@@ -136,3 +136,8 @@ class EngineConfig:
     # checkpointing
     checkpoint_dir: Optional[str] = None
     checkpoint_step: int = 0  # 0 disables periodic engine checkpoints
+    # Elastic restart: when checkpoint_dir holds a checkpoint at startup,
+    # restore it and continue (resume is bit-exact, incl. mid-epoch
+    # iterator positions and roll-back caches — tests/test_checkpoint.py).
+    # The reference delegates elasticity to torchrun (SURVEY.md §5.3).
+    auto_resume: bool = False

@@ -226,6 +226,7 @@ class Engine:
             leaf.step(global_step=self.global_step)
 
     def run(self):
+        self.maybe_auto_resume()
         if self.config.compile_blocks:
             return self.run_compiled()
         self.train()
@@ -236,7 +237,9 @@ class Engine:
                 self.global_step += 1
                 self.train_step()
 
-                if it % self.valid_step == 0 and self.do_validation():
+                # cadence on the GLOBAL step so boundaries stay aligned
+                # across checkpoint resumes (== it when starting fresh)
+                if self.global_step % self.valid_step == 0 and self.do_validation():
                     self.eval()
                     validation_stats = self.validation() or {}
                     log_loss = log_from_loss_dict(validation_stats)
@@ -256,13 +259,39 @@ class Engine:
                 if (
                     self.config.checkpoint_step > 0
                     and self.config.checkpoint_dir is not None
-                    and it % self.config.checkpoint_step == 0
+                    and self.global_step % self.config.checkpoint_step == 0
                 ):
                     self.save_checkpoint(self.config.checkpoint_dir)
         finally:
             if self.config.profile_dir:
                 jax.profiler.stop_trace()
         self.cleanup()
+
+    def maybe_auto_resume(self):
+        """Elastic restart: pick up the checkpoint in ``checkpoint_dir`` if
+        one exists (``EngineConfig(auto_resume=True)``); training then
+        continues bit-exactly from the interruption point. Replaces the
+        reference's reliance on torchrun restarts (SURVEY.md §5.3)."""
+        import os
+
+        if (
+            self.config.auto_resume
+            and self.config.checkpoint_dir
+            and os.path.exists(
+                os.path.join(self.config.checkpoint_dir, "meta.json")
+            )
+            and self.global_step == 0
+        ):
+            self.load_checkpoint(self.config.checkpoint_dir)
+            # train_iters is the TOTAL target of the (logical) run; the
+            # restarted process only executes the remainder
+            self.train_iters = max(0, self.train_iters - self.global_step)
+            if self.is_rank_zero():
+                self.logger.info(
+                    f"[auto_resume] restored global step {self.global_step} "
+                    f"from {self.config.checkpoint_dir}; "
+                    f"{self.train_iters} iterations remain"
+                )
 
     def run_compiled(self):
         """Compiled-block training loop: one XLA dispatch per schedule period

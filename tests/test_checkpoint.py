@@ -87,3 +87,58 @@ def test_resume_exactness_midepoch_midunroll(tmp_path):
     l_res = np.asarray(e_b.states["outer"]["params"]["w"])
     assert np.array_equal(w_full, w_res), np.max(np.abs(w_full - w_res))
     assert np.array_equal(l_full, l_res)
+
+
+def test_auto_resume_elastic_restart(tmp_path):
+    """EngineConfig(auto_resume=True): a crashed-and-relaunched run picks up
+    its periodic checkpoint and finishes with the uninterrupted result
+    (train_iters is the TOTAL target). The reference delegates this to
+    torchrun; here it's one config flag."""
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, optim
+    from betty_tpu.data import ArrayLoader
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data(n=160)
+
+    def build(iters, ckpt=None, auto=False):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0, momentum=0.9),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=16, seed=1),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=16, seed=0),
+                      config=Config(unroll_steps=2))
+        eng = Engine(config=EngineConfig(
+                         train_iters=iters,
+                         checkpoint_dir=str(ckpt) if ckpt else None,
+                         checkpoint_step=4 if ckpt else 0,
+                         auto_resume=auto),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        return eng
+
+    # uninterrupted 14-iteration run
+    e_full = build(14)
+    e_full.run()
+    w_full = np.asarray(e_full.states["inner"]["params"]["w"])
+
+    # "crashed" run: dies after 6 iterations (last checkpoint at step 4)
+    ckpt = tmp_path / "ckpt"
+    e_a = build(6, ckpt=ckpt)
+    e_a.run()
+
+    # relaunch the SAME program (total target 14); auto-resume restores
+    # step 4 and runs the remaining 10
+    e_b = build(14, ckpt=ckpt, auto=True)
+    e_b.run()
+    assert e_b.global_step == 14
+    w_res = np.asarray(e_b.states["inner"]["params"]["w"])
+    assert np.array_equal(w_full, w_res), np.max(np.abs(w_full - w_res))

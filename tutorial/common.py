@@ -32,8 +32,9 @@ from betty_tpu.data import ArrayLoader
 
 
 class Loader(ArrayLoader):
-    def __init__(self, x, y, batch_size, seed=0):
-        super().__init__(x, y, batch_size=batch_size, seed=seed)
+    def __init__(self, x, y, batch_size, seed=0, device=False):
+        super().__init__(x, y, batch_size=batch_size, seed=seed,
+                         device=device)
 
 
 class Reweight(ImplicitProblem):
