@@ -409,6 +409,260 @@ def run_batchnorm_case(iters=12, unroll=2):
     return ok
 
 
+# ---------------------------------------------------------------- trilevel
+#
+# learning_by_ignoring's graph (reference examples/learning_by_ignoring/
+# main.py:327-329): u2l={reweight:[pretrain]},
+# l2u={pretrain:[finetune, reweight], finetune:[reweight]} — the top problem
+# has TWO hypergradient paths (direct via pretrain and chained via finetune),
+# exercising multi-path accumulation (reference problem.py:572-597) against
+# the actual reference engine.
+
+RHO = 0.7
+XT = rng.randn(60, DIM)
+YT = ((XT @ W_GT + 0.1 * rng.randn(60)) > 0).astype(np.float64)
+TARGET_BATCHES = [(XT[i * 20 : (i + 1) * 20], YT[i * 20 : (i + 1) * 20]) for i in range(3)]
+WP0 = 0.3 * rng.randn(DIM)
+WF0 = 0.3 * rng.randn(DIM)
+LAMW0 = 0.1 * rng.randn(DIM)
+
+
+class RefPretrain(RefImplicitProblem):
+    def training_step(self, batch):
+        inputs, targets = batch
+        outs, _ = self.module(inputs)
+        lw = torch.sigmoid(self.reweight(inputs)[0])
+        ce = F.binary_cross_entropy_with_logits(outs, targets, reduction="none")
+        return torch.mean(lw * ce)
+
+
+class RefFinetune(RefImplicitProblem):
+    def training_step(self, batch):
+        inputs, targets = batch
+        outs, wf = self.module(inputs)
+        wp = self.pretrain(inputs)[1]
+        prox = 0.5 * RHO * torch.sum((wf - wp) ** 2)
+        return F.binary_cross_entropy_with_logits(outs, targets) + prox
+
+
+class RefReweight(RefImplicitProblem):
+    def training_step(self, batch):
+        inputs, targets = batch
+        outs = self.finetune(inputs)[0]
+        outs_p = self.pretrain(inputs)[0]
+        return F.binary_cross_entropy_with_logits(outs, targets) + 0.1 * (
+            F.binary_cross_entropy_with_logits(outs_p, targets)
+        )
+
+
+class JaxPretrain(ImplicitProblem):
+    def training_step(self, batch):
+        inputs, targets = batch
+        outs, _ = self.module(inputs)
+        lw = jax.nn.sigmoid(self.reweight(inputs)[0])
+        ce = optax.sigmoid_binary_cross_entropy(outs, targets)
+        return jnp.mean(lw * ce)
+
+
+class JaxFinetune(ImplicitProblem):
+    def training_step(self, batch):
+        inputs, targets = batch
+        outs, wf = self.module(inputs)
+        wp = self.pretrain(inputs)[1]
+        prox = 0.5 * RHO * jnp.sum((wf - wp) ** 2)
+        return optax.sigmoid_binary_cross_entropy(outs, targets).mean() + prox
+
+
+class JaxReweight(ImplicitProblem):
+    def training_step(self, batch):
+        inputs, targets = batch
+        outs = self.finetune(inputs)[0]
+        outs_p = self.pretrain(inputs)[0]
+        return (
+            optax.sigmoid_binary_cross_entropy(outs, targets).mean()
+            + 0.1 * optax.sigmoid_binary_cross_entropy(outs_p, targets).mean()
+        )
+
+
+def _linear_module_torch(w0):
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = torch.nn.Parameter(torch.as_tensor(w0.copy()))
+
+        def forward(self, inputs):
+            return inputs @ self.w, self.w
+
+    return Net()
+
+
+def run_trilevel_case(unroll=1, iters=10, solver="darts"):
+    def t_loader(batches):
+        return [(torch.as_tensor(x.copy()), torch.as_tensor(y.copy())) for x, y in batches]
+
+    def j_loader(batches):
+        return [(jnp.asarray(x), jnp.asarray(y)) for x, y in batches]
+
+    # reference
+    pre_mod = _linear_module_torch(WP0)
+    ref_pre = RefPretrain(
+        name="pretrain", module=pre_mod,
+        optimizer=torch.optim.SGD(pre_mod.parameters(), lr=0.1),
+        train_data_loader=t_loader(TRAIN_BATCHES),
+        config=RefConfig(type=solver, unroll_steps=unroll),
+    )
+    fin_mod = _linear_module_torch(WF0)
+    ref_fin = RefFinetune(
+        name="finetune", module=fin_mod,
+        optimizer=torch.optim.SGD(fin_mod.parameters(), lr=0.1),
+        train_data_loader=t_loader(TARGET_BATCHES),
+        config=RefConfig(type=solver, unroll_steps=1),
+    )
+    rw_mod = _linear_module_torch(LAMW0)
+    ref_rw = RefReweight(
+        name="reweight", module=rw_mod,
+        optimizer=torch.optim.SGD(rw_mod.parameters(), lr=0.1, momentum=0.9),
+        train_data_loader=t_loader(VALID_BATCHES),
+        config=RefConfig(retain_graph=True),
+    )
+    ref_engine = RefEngine(
+        config=RefEngineConfig(train_iters=iters),
+        problems=[ref_rw, ref_fin, ref_pre],
+        dependencies={
+            "u2l": {ref_rw: [ref_pre]},
+            "l2u": {ref_pre: [ref_fin, ref_rw], ref_fin: [ref_rw]},
+        },
+    )
+
+    # betty_tpu
+    def lin(w0):
+        return from_fn(lambda p, i: (i @ p["w"], p["w"]), {"w": jnp.asarray(w0)})
+
+    jax_pre = JaxPretrain(
+        name="pretrain", module=lin(WP0), optimizer=optim.sgd(lr=0.1),
+        train_data_loader=j_loader(TRAIN_BATCHES),
+        config=Config(type=solver, unroll_steps=unroll),
+    )
+    jax_fin = JaxFinetune(
+        name="finetune", module=lin(WF0), optimizer=optim.sgd(lr=0.1),
+        train_data_loader=j_loader(TARGET_BATCHES),
+        config=Config(type=solver, unroll_steps=1),
+    )
+    jax_rw = JaxReweight(
+        name="reweight", module=lin(LAMW0),
+        optimizer=optim.sgd(lr=0.1, momentum=0.9),
+        train_data_loader=j_loader(VALID_BATCHES),
+        config=Config(retain_graph=True),
+    )
+    jax_engine = Engine(
+        config=EngineConfig(train_iters=iters),
+        problems=[jax_rw, jax_fin, jax_pre],
+        dependencies={
+            "u2l": {jax_rw: [jax_pre]},
+            "l2u": {jax_pre: [jax_fin, jax_rw], jax_fin: [jax_rw]},
+        },
+    )
+
+    err = 0.0
+    for _ in range(iters):
+        ref_engine.train_step()
+        jax_engine.global_step += 1
+        jax_engine.train_step()
+        for ref_p, name in ((ref_pre, "pretrain"), (ref_fin, "finetune"),
+                            (ref_rw, "reweight")):
+            e = float(np.max(np.abs(
+                ref_p.module.w.detach().numpy()
+                - np.asarray(jax_engine.states[name]["params"]["w"])
+            )))
+            err = max(err, e)
+    ok = err <= TOL
+    status = "OK " if ok else "FAIL"
+    print(f"{status} trilevel LBI-graph {solver} u{unroll} (2 paths): "
+          f"max traj |diff| = {err:.3e}")
+    return ok
+
+
+# ---------------------------------------------------------------- penalty
+def run_penalty_case(iters=10):
+    """PenaltyProblem (reference betty/problems/penalty_problem.py) as the
+    inner problem of the bilevel fixture — same step semantics as
+    ImplicitProblem minus SAMA last_grad caching."""
+    from betty.problems.penalty_problem import PenaltyProblem as RefPenaltyProblem
+    from betty_tpu import PenaltyProblem
+
+    class RefPenInner(RefPenaltyProblem):
+        training_step = RefInner.training_step
+
+    class JaxPenInner(PenaltyProblem):
+        training_step = JaxInner.training_step
+
+    inner_module = RefChildNet()
+    pen_inner = RefPenInner(
+        name="inner", module=inner_module,
+        optimizer=torch.optim.Adam(inner_module.parameters(), lr=0.05),
+        train_data_loader=[
+            (torch.as_tensor(x.copy()), torch.as_tensor(y.copy()))
+            for x, y in TRAIN_BATCHES
+        ],
+        config=RefConfig(type="darts", unroll_steps=2),
+    )
+    outer_module = RefParentNet()
+    ref_outer = RefOuter(
+        name="outer", module=outer_module,
+        optimizer=torch.optim.SGD(outer_module.parameters(), lr=0.1, momentum=0.9),
+        train_data_loader=[
+            (torch.as_tensor(x.copy()), torch.as_tensor(y.copy()))
+            for x, y in VALID_BATCHES
+        ],
+        config=RefConfig(),
+    )
+    ref_engine = RefEngine(
+        config=RefEngineConfig(train_iters=iters),
+        problems=[ref_outer, pen_inner],
+        dependencies={"u2l": {ref_outer: [pen_inner]},
+                      "l2u": {pen_inner: [ref_outer]}},
+    )
+
+    jax_inner = JaxPenInner(
+        name="inner",
+        module=from_fn(lambda p, i: (i @ p["w"], p["w"]), {"w": jnp.asarray(W0)}),
+        optimizer=optim.adam(lr=0.05),
+        train_data_loader=[(jnp.asarray(x), jnp.asarray(y)) for x, y in TRAIN_BATCHES],
+        config=Config(type="darts", unroll_steps=2),
+    )
+    jax_outer = JaxOuter(
+        name="outer",
+        module=from_fn(lambda p: p["w"], {"w": jnp.asarray(LAM0)}),
+        optimizer=optim.sgd(lr=0.1, momentum=0.9),
+        train_data_loader=[(jnp.asarray(x), jnp.asarray(y)) for x, y in VALID_BATCHES],
+        config=Config(),
+    )
+    jax_engine = Engine(
+        config=EngineConfig(train_iters=iters),
+        problems=[jax_outer, jax_inner],
+        dependencies={"u2l": {jax_outer: [jax_inner]},
+                      "l2u": {jax_inner: [jax_outer]}},
+    )
+
+    err = 0.0
+    for _ in range(iters):
+        ref_engine.train_step()
+        jax_engine.global_step += 1
+        jax_engine.train_step()
+        err = max(err, float(np.max(np.abs(
+            pen_inner.module.w.detach().numpy()
+            - np.asarray(jax_engine.states["inner"]["params"]["w"])
+        ))))
+        err = max(err, float(np.max(np.abs(
+            ref_outer.module.w.detach().numpy()
+            - np.asarray(jax_engine.states["outer"]["params"]["w"])
+        ))))
+    ok = err <= TOL
+    status = "OK " if ok else "FAIL"
+    print(f"{status} PenaltyProblem darts u2 adam: max traj |diff| = {err:.3e}")
+    return ok
+
+
 # ---------------------------------------------------------------- harness
 SCENARIOS = [
     dict(name="darts u1", solver="darts", unroll=1, gas=1, rb=False, warmup=0,
@@ -477,6 +731,9 @@ def main():
         print(f"{status} {sc['name']}: max traj |diff| = {err:.3e}")
         ok &= err <= TOL
     ok &= run_batchnorm_case()
+    ok &= run_trilevel_case(unroll=1)
+    ok &= run_trilevel_case(unroll=3)
+    ok &= run_penalty_case()
     sys.exit(0 if ok else 1)
 
 

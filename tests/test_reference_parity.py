@@ -6,7 +6,8 @@ at /root/reference is imported and executed — not re-implemented — so this
 is the load-bearing BASELINE.md "hypergradients within 1e-5 of PyTorch
 Betty" check at the whole-engine level (per-step parameter trajectories,
 both problems, darts/cg/neumann/sama x unroll x gas x roll_back x warmup
-x LR schedule)."""
+x LR schedule), plus a BatchNorm model, the trilevel learning_by_ignoring
+graph (two hypergradient paths), and PenaltyProblem."""
 
 import os
 import subprocess
