@@ -86,6 +86,12 @@ class Config:
     # standard recipe for fitting large models in HBM.
     remat: bool = False
 
+    # --- TPU-native extension: per-problem tensor-parallel sharding
+    # overrides under ``EngineConfig(strategy="tp")`` — a sequence of
+    # ``(path_regex, partition_spec_tuple)`` pairs checked before the
+    # built-in Megatron rules, e.g. ``((r"Dense_0/kernel$", (None, "mdl")),)``.
+    shard_rules: Optional[Tuple] = None
+
 
 @dataclass
 class EngineConfig:
@@ -106,7 +112,7 @@ class EngineConfig:
 
     # distributed training
     backend: str = "xla"  # parity field; collectives are XLA-inserted on TPU
-    strategy: str = "default"  # default | dp | distributed (=dp) | zero | fsdp
+    strategy: str = "default"  # default | dp | distributed (=dp) | zero | fsdp | tp
 
     # early stopping
     early_stopping: bool = False

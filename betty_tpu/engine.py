@@ -82,7 +82,7 @@ class Engine:
         controller program drives them (SURVEY.md §5.8)."""
         maybe_init_distributed()
         strategy = self._strategy
-        if strategy in ("distributed", "dp", "zero", "fsdp") or (
+        if strategy in ("distributed", "dp", "zero", "fsdp", "tp") or (
             self.config.mesh_shape is not None
         ):
             self.mesh = make_mesh(self.config.mesh_shape)
@@ -124,7 +124,8 @@ class Engine:
                 strategy = self._strategy
                 if strategy in ("default",):
                     strategy = "dp"
-                state = shard_state(state, self.mesh, strategy)
+                state = shard_state(state, self.mesh, strategy,
+                                    rules=problem.config.shard_rules)
             self.states[problem.name] = state
 
         end = time.time()

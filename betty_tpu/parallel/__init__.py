@@ -6,6 +6,7 @@ from betty_tpu.parallel.mesh import (
     maybe_init_distributed,
     replicated,
     shard_state,
+    tp_shardings,
 )
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "fsdp_shardings",
+    "tp_shardings",
     "shard_state",
     "make_global_batch",
     "maybe_init_distributed",

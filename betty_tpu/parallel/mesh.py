@@ -21,7 +21,8 @@ All collectives ride ICI within a slice; multi-slice topologies can put a
 """
 
 import math
-from typing import Optional, Tuple
+import re
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -88,12 +89,99 @@ def fsdp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
     )
 
 
-def shard_state(state, mesh: Mesh, strategy: str = "dp"):
+# --------------------------------------------------------------------- TP
+#
+# Megatron-style tensor parallelism (arXiv:1909.08053) as sharding layouts —
+# a TPU-first capability beyond the reference's DP-family strategies. Rules
+# are matched against the parameter's pytree path (flax naming):
+#
+#   attention query/key/value kernel (d, h, hd) -> heads sharded (column
+#     parallel); out kernel (h, hd, d) -> heads sharded (row parallel), so
+#     the attention block computes on local heads and the partitioner
+#     reduces once at the output projection;
+#   MLP 2-D kernels fall back to the largest-dim rule, which IS Megatron
+#     for pre-LN MLPs: (d, 4d) shards columns, (4d, d) shards rows;
+#   token embeddings (V, d) -> vocab sharded;
+#   LayerNorm / small biases -> replicated.
+#
+# Optimizer-state trees (optax mu/nu/momentum) mirror the parameter tree
+# including names, so the same path rules shard them identically.
+
+_TP_RULES = (
+    (re.compile(r"(query|key|value)/(kernel|bias)$"),
+     lambda ax, x: P(None, ax, None) if x.ndim == 3 else
+     (P(ax, None) if x.ndim == 2 else None)),
+    (re.compile(r"out/kernel$"),
+     lambda ax, x: P(ax, None, None) if x.ndim == 3 else None),
+    (re.compile(r"out/bias$"), lambda ax, x: P()),
+    (re.compile(r"embedding$"),
+     lambda ax, x: P(ax, None) if x.ndim == 2 else None),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "name", k))))
+    return "/".join(parts)
+
+
+def _spec_fits(x, spec: P, axis_size: int) -> bool:
+    for d, names in enumerate(spec):
+        if names is None:
+            continue
+        if d >= x.ndim or x.shape[d] % axis_size != 0:
+            return False
+    return True
+
+
+def tp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
+                 min_size: int = 2**12,
+                 rules: Optional[Sequence] = None):
+    """Per-leaf NamedShardings for Megatron-style tensor parallelism.
+
+    ``rules``: optional user overrides checked first — a sequence of
+    ``(path_regex, partition_spec_tuple)`` pairs, e.g.
+    ``[(r"Dense_0/kernel$", (None, "mdl"))]`` (``Config.shard_rules``).
+    """
+    if axis is None:
+        axis = "mdl" if "mdl" in mesh.shape else "dp"
+    axis_size = mesh.shape[axis]
+    user = tuple(
+        (re.compile(pat), tuple(spec)) for pat, spec in (rules or ())
+    )
+
+    def spec_for(path, x):
+        if not hasattr(x, "shape"):
+            return P()
+        pstr = _path_str(path)
+        for pat, spec_t in user:
+            if pat.search(pstr):
+                spec = P(*spec_t)
+                if _spec_fits(x, spec, axis_size):
+                    return spec
+        for pat, fn in _TP_RULES:
+            if pat.search(pstr):
+                spec = fn(axis, x)
+                if spec is not None and _spec_fits(x, spec, axis_size):
+                    return spec
+        if x.ndim == 0 or x.size < min_size:
+            return P()
+        return _shard_leaf_spec(x, axis, axis_size, min_size)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec_for(p, x)), tree
+    )
+
+
+def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
     """Place one problem's state pytree according to the strategy.
 
     dp:    everything replicated.
     zero:  params/grads replicated; opt_state FSDP-sharded.
     fsdp:  params, grad_acc, last_grad and opt_state FSDP-sharded.
+    tp:    params/grads/opt_state sharded by Megatron tensor-parallel rules
+           (plus ``rules`` overrides) over the model axis.
     """
     rep = replicated(mesh)
 
@@ -111,13 +199,16 @@ def shard_state(state, mesh: Mesh, strategy: str = "dp"):
             out["opt_state"], fsdp_shardings(out["opt_state"], mesh)
         )
         return out
-    if strategy == "fsdp":
+    if strategy in ("fsdp", "tp"):
+        shard_fn = fsdp_shardings if strategy == "fsdp" else (
+            lambda tree, m: tp_shardings(tree, m, rules=rules)
+        )
         for k in ("extra", "sched_step"):
             if k in out:
                 out[k] = jax.device_put(out[k], rep)
         for k in ("params", "grad_acc", "last_grad", "opt_state"):
             if k in out:
-                out[k] = place(out[k], fsdp_shardings(out[k], mesh))
+                out[k] = place(out[k], shard_fn(out[k], mesh))
         return out
     raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -245,6 +245,10 @@ def build_engine(args):
         config=EngineConfig(
             train_iters=args.train_iters, valid_step=args.valid_step,
             strategy=args.strategy, compile_blocks=args.compile_blocks,
+            mesh_shape=tuple(
+                (n, int(s)) for n, s in
+                (ax.split(":") for ax in args.mesh.split(","))
+            ) if args.mesh else None,
         ),
         problems=[reweight, classifier],
         dependencies={"u2l": {reweight: [classifier]},
@@ -262,7 +266,11 @@ def parse_args(argv=None):
                    choices=["sama", "darts", "cg", "neumann"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     p.add_argument("--strategy", default="default",
-                   choices=["default", "dp", "distributed", "zero", "fsdp"])
+                   choices=["default", "dp", "distributed", "zero", "fsdp",
+                            "tp"])
+    p.add_argument("--mesh", default=None,
+                   help="mesh axes as 'name:size,name:size', e.g. "
+                        "'dp:2,mdl:4' (default: all devices on dp)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--seq_len", type=int, default=128)
     p.add_argument("--dim", type=int, default=256)
