@@ -155,3 +155,34 @@ def test_tp_user_shard_rules_override():
                       rules=((r"Dense_0/kernel$", ("mdl", None)),))
     assert sh["Dense_0"]["kernel"].spec == P("mdl", None)  # user rule wins
     assert sh["tiny"].spec == P()
+
+
+def test_tp_composes_with_compiled_blocks():
+    """TP sharding must survive compiled-block execution: block-mode and
+    driver-mode runs on the same dp x mdl mesh agree, and the parameters
+    stay mdl-sharded after the blocks."""
+    mod = _load_bert("bert_tp_blocks")
+
+    def build(compile_blocks):
+        args = mod.parse_args(BASE_ARGS + [
+            "--train_iters", "4", "--strategy", "tp",
+            "--mesh", "dp:2,mdl:4",
+        ] + (["--compile_blocks"] if compile_blocks else []))
+        engine = mod.build_engine(args)
+        engine.run()
+        q = _param_by_suffix(engine.states["classifier"]["params"],
+                             "query", "kernel")
+        assert q.sharding.shard_shape(q.shape)[1] == q.shape[1] // 4, (
+            "TP layout lost in compiled-block mode"
+        )
+        return np.concatenate([
+            np.asarray(x).ravel()
+            for x in jax.tree_util.tree_leaves(
+                engine.states["classifier"]["params"]
+            )
+        ])
+
+    w_block = build(True)
+    w_driver = build(False)
+    err = float(np.max(np.abs(w_block - w_driver)))
+    assert err < 2e-5, f"TP block mode diverged from driver mode: {err}"
