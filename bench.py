@@ -437,6 +437,60 @@ def bench_fused_ops(cg_iterations=10):
     }
 
 
+def bench_sama_transformer():
+    """North-star shape at single-chip scale (BASELINE.md: SAMA RoBERTa
+    reweighting): the bert_data_reweighting example's encoder (~17M params,
+    seq 128, batch 32, unroll 5, bf16, SAMA) in compiled-block mode with
+    device-resident data. Reported as meta-periods/s (one period = 5 inner
+    transformer fwd+bwd steps + the SAMA hypergradient + both updates)."""
+    import statistics
+
+    sys.path.insert(0, str(
+        Path(__file__).resolve().parent / "examples" / "bert_data_reweighting"
+    ))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bert_bench",
+        Path(__file__).resolve().parent / "examples" / "bert_data_reweighting"
+        / "main.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bert_bench"] = mod
+    spec.loader.exec_module(mod)
+
+    from betty_tpu.compile import BlockRunner
+
+    args = mod.parse_args([
+        "--train_iters", "0", "--batch_size", "32", "--seq_len", "128",
+        "--train_size", "1024", "--meta_size", "256",
+        "--unroll_steps", "5", "--precision", "bf16",
+        "--hypergradient", "sama", "--device_data",
+    ])
+    engine = mod.build_engine(args)
+    engine.train()
+    K = 8
+    runner = BlockRunner(engine, scan_periods=K)
+    for _ in range(2):
+        runner.run_block()
+    _sync(engine)
+
+    rates = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            runner.run_block()
+        _sync(engine)
+        rates.append(4 * K / (time.perf_counter() - t0))
+    return {
+        "meta_periods_per_sec_median": round(statistics.median(rates), 3),
+        "meta_periods_per_sec_peak": round(max(rates), 3),
+        "unroll_steps": 5,
+        "precision": "bf16",
+        "solver": "sama",
+    }
+
+
 def bench_reference():
     """Time the reference torch implementation on identical shapes (CPU).
     Cached across runs; returns None if unavailable."""
@@ -495,6 +549,7 @@ def main():
 
     wallclock = bench_wallclock_to_acc()
     fused = bench_fused_ops()
+    sama_tfm = bench_sama_transformer()
     ref = bench_reference()
     vs = (solvers["darts"]["median"] / ref) if ref else 1.0
 
@@ -515,6 +570,7 @@ def main():
         "precision": "fp32",
         "wallclock_to_acc": wallclock,
         "fused_vector_ops": fused,
+        "sama_transformer": sama_tfm,
         "note": "vs_baseline is TPU-vs-reference-on-host-CPU (reference "
                 "publishes no throughput numbers); not hardware-normalized. "
                 "median = sustained, peak = best window on the shared chip.",
