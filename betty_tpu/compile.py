@@ -245,6 +245,21 @@ class BlockRunner:
                 and jax.process_count() == 1
             ):
                 self.fastpath[name] = dl[0]
+        staged = [
+            n for n, p in self.problems.items()
+            if n not in self.fastpath and p.train_data_loader is not None
+            and any(isinstance(d, ArrayLoader) and d.device
+                    for d in p.train_data_loader)
+        ]
+        if staged and engine.logger is not None:
+            # device-resident data that can't ride the in-block gather path
+            # (multi-loader / custom get_batch / epoch_callback / multi-host)
+            # falls back to host staging — same numerics, more dispatches
+            engine.logger.info(
+                f"[Betty-TPU] compiled blocks: host-staging data path for "
+                f"{staged} (in-block gather fast path active for "
+                f"{sorted(self.fastpath)})"
+            )
         if engine.mesh is None:
             self.datasets = {n: ld.arrays for n, ld in self.fastpath.items()}
         else:

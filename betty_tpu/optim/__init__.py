@@ -106,6 +106,102 @@ def set_injected_lr(opt_state, lr):
     return _set(opt_state)
 
 
+class GroupedOptimizer(Optimizer):
+    """Per-parameter-group hyperparameters (counterpart of the reference's
+    ``param_groups`` hook, ``betty/problems/problem.py:253-254`` — torch
+    optimizers carry per-group lr/momentum; here each group is its own
+    optax transform behind ``optax.multi_transform``).
+
+    ``group_schedules``: per-group-label LR schedules (None = static lr).
+    """
+
+    def __init__(self, tx, base: Optimizer, group_schedules):
+        super().__init__(tx, kind=base.kind, lr=base.lr, betas=base.betas,
+                         eps=base.eps,
+                         schedule=base.schedule if any(
+                             s is not None for s in group_schedules.values()
+                         ) else None)
+        self.group_schedules = group_schedules
+
+    def update(self, grads, opt_state, params, sched_step=None):
+        if sched_step is not None and any(
+            s is not None for s in self.group_schedules.values()
+        ):
+            inner = dict(opt_state.inner_states)
+            for label, sched in self.group_schedules.items():
+                if sched is not None:
+                    st = inner[label]
+                    if hasattr(st, "inner_state"):  # optax MaskedState
+                        st = st._replace(
+                            inner_state=set_injected_lr(
+                                st.inner_state, sched(sched_step)
+                            )
+                        )
+                    else:
+                        st = set_injected_lr(st, sched(sched_step))
+                    inner[label] = st
+            opt_state = opt_state._replace(inner_states=inner)
+        return self.tx.update(grads, opt_state, params)
+
+
+def _leaf_path_str(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "name", k))) for k in path
+    )
+
+
+def grouped(base: Optimizer, groups, params) -> GroupedOptimizer:
+    """Build a per-group optimizer from the user's ``param_groups()`` spec.
+
+    ``groups``: a list of dicts; ``"select"`` is a path regex matched against
+    each parameter leaf's pytree path (``None`` = catch-all), remaining keys
+    override the base optimizer's constructor kwargs (``lr``, ``momentum``,
+    ``weight_decay``, ...). First matching group wins — mirror of torch's
+    explicit param lists. A base ``schedule`` applies to every group scaled
+    to its lr (torch LR schedulers decay each group proportionally); a
+    per-group ``"schedule"`` overrides it.
+    """
+    import re
+
+    import jax
+
+    if getattr(base, "_ctor", None) is None:
+        raise ValueError(
+            "param_groups requires a betty_tpu.optim factory optimizer "
+            "(sgd/adam/adamw) as the template; got a raw optax transform"
+        )
+    fn, base_kw = base._ctor
+    txs, schedules = {}, {}
+    for i, g in enumerate(groups):
+        kw = dict(base_kw)
+        kw.update({k: v for k, v in g.items() if k not in ("select", "schedule")})
+        sched = g.get("schedule")
+        if sched is None and base.schedule is not None:
+            g_lr, b_lr, b_sched = kw.get("lr", base.lr), base.lr, base.schedule
+            sched = lambda step, _g=g_lr, _b=b_lr, _s=b_sched: _g * _s(step) / _b
+        if sched is not None:
+            kw["schedule"] = sched
+        txs[i] = fn(**kw).tx
+        schedules[i] = sched
+
+    compiled = [
+        (re.compile(g["select"]) if g.get("select") else None) for g in groups
+    ]
+
+    def label_for(path, _x):
+        pstr = _leaf_path_str(path)
+        for i, pat in enumerate(compiled):
+            if pat is None or pat.search(pstr):
+                return i
+        raise ValueError(
+            f"param_groups: no group matches parameter {pstr!r}; add a "
+            f"catch-all group with select=None"
+        )
+
+    labels = jax.tree_util.tree_map_with_path(label_for, params)
+    return GroupedOptimizer(optax.multi_transform(txs, labels), base, schedules)
+
+
 def _maybe_inject(factory, schedule, static=(), **kwargs):
     if schedule is not None:
         # only the learning rate is schedule-injected; everything else stays
@@ -132,7 +228,10 @@ def sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0,
     tx = _maybe_inject(factory, schedule,
                        static=("momentum", "weight_decay", "nesterov"),
                        learning_rate=lr)
-    return Optimizer(tx, kind="sgd", lr=lr, schedule=schedule)
+    opt = Optimizer(tx, kind="sgd", lr=lr, schedule=schedule)
+    opt._ctor = (sgd, dict(lr=lr, momentum=momentum, weight_decay=weight_decay,
+                           nesterov=nesterov, schedule=schedule))
+    return opt
 
 
 def adam(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
@@ -152,7 +251,10 @@ def adam(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8
     tx = _maybe_inject(factory, schedule,
                        static=("b1", "b2", "eps", "weight_decay"),
                        learning_rate=lr)
-    return Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
+    opt = Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
+    opt._ctor = (adam, dict(lr=lr, betas=betas, eps=eps,
+                            weight_decay=weight_decay, schedule=schedule))
+    return opt
 
 
 def adamw(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
@@ -171,7 +273,10 @@ def adamw(lr: float, betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-
     tx = _maybe_inject(factory, schedule,
                        static=("b1", "b2", "eps", "weight_decay"),
                        learning_rate=lr)
-    return Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
+    opt = Optimizer(tx, kind="adam", lr=lr, betas=betas, eps=eps, schedule=schedule)
+    opt._ctor = (adamw, dict(lr=lr, betas=betas, eps=eps,
+                             weight_decay=weight_decay, schedule=schedule))
+    return opt
 
 
 def from_optax(tx: optax.GradientTransformation, kind: str = "custom",

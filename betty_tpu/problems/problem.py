@@ -383,6 +383,16 @@ class Problem(abc.ABC):
         variables = jax.tree_util.tree_map(strong, variables)
         params = variables.pop("params")
         extra = variables  # batch_stats etc.
+        if self.optimizer is not None and self.is_implemented("param_groups"):
+            # per-group hyperparameters (reference problem.py:253-254):
+            # the user's optimizer is the template; each group re-instantiates
+            # it with overridden kwargs behind optax.multi_transform
+            from betty_tpu import optim as _optim
+
+            if not isinstance(self.optimizer, _optim.GroupedOptimizer):
+                self.optimizer = _optim.grouped(
+                    self.optimizer, self.param_groups(), params
+                )
         opt_state = self.optimizer.init(params) if self.optimizer is not None else ()
         state = {
             "params": params,

@@ -68,6 +68,14 @@ class Finetune(ImplicitProblem):
         )
         return loss + self.cfg["rho"] * prox
 
+    def param_groups(self):
+        # per-layer learning rates (reference learning_by_ignoring
+        # main.py:163-175: feature extractor vs classifier head)
+        return [
+            {"select": r"Dense_0", "lr": self.cfg["features_lr"]},
+            {"select": None, "lr": self.cfg["classifier_lr"]},
+        ]
+
 
 class Reweight(ImplicitProblem):
     """Top level: validation loss of the finetuned model drives the
@@ -155,7 +163,9 @@ def build_engine(args):
         optimizer=optim.sgd(lr=args.lr, momentum=0.9),
         train_data_loader=tgt_loader,
         config=Config(type="darts", unroll_steps=1, allow_unused=False),
-        extra_config={"rho": args.rho},
+        extra_config={"rho": args.rho,
+                      "features_lr": args.features_lr,
+                      "classifier_lr": args.classifier_lr},
     )
     reweight = Reweight(
         name="reweight",
@@ -187,6 +197,8 @@ def parse_args(argv=None):
     p.add_argument("--n_target", type=int, default=256)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--features_lr", type=float, default=0.05)
+    p.add_argument("--classifier_lr", type=float, default=0.05)
     p.add_argument("--meta_lr", type=float, default=0.01)
     p.add_argument("--rho", type=float, default=0.1)
     p.add_argument("--train_iters", type=int, default=200)

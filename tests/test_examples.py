@@ -139,6 +139,7 @@ def test_learning_by_ignoring_trilevel():
     mod = load("learning_by_ignoring")
     args = type("A", (), dict(
         dim=16, classes=3, n_source=128, n_target=128, batch=32, lr=0.05,
+        features_lr=0.08, classifier_lr=0.02,
         meta_lr=0.01, rho=0.1, train_iters=4, log_step=-1,
     ))
     engine = mod.build_engine(args)
