@@ -20,6 +20,7 @@ from betty_tpu.models.resnet import (
 from betty_tpu.models.omniglot import OmniglotCNN
 from betty_tpu.models.transformer import (
     TransformerClassifier,
+    make_pipelined_transformer,
     roberta_large_config,
 )
 
@@ -33,5 +34,6 @@ __all__ = [
     "WideResNet",
     "OmniglotCNN",
     "TransformerClassifier",
+    "make_pipelined_transformer",
     "roberta_large_config",
 ]

@@ -82,3 +82,105 @@ def roberta_large_config(num_classes: int = 2, max_len: int = 128):
         vocab_size=50265, max_len=max_len, dim=1024, depth=24, heads=16,
         num_classes=num_classes,
     )
+
+
+def make_pipelined_transformer(
+    mesh=None,
+    *,
+    vocab_size: int = 50265,
+    max_len: int = 128,
+    dim: int = 256,
+    depth: int = 4,
+    heads: int = 8,
+    num_classes: int = 2,
+    pad_id: int = 1,
+    axis: str = "pp",
+    num_microbatches=None,
+    rng=None,
+):
+    """A TransformerClassifier whose encoder stack runs as a GPipe pipeline
+    over ``mesh[axis]`` (betty_tpu/parallel/pipeline.py) — pipeline
+    parallelism beyond the reference's DP-family strategies.
+
+    Returns a :class:`~betty_tpu.module.FunctionalModule`; block parameters
+    are STACKED with a leading depth axis under ``params["blocks"]`` — shard
+    that axis over ``pp`` with ``Config(shard_rules=((r"^blocks", ("pp",)),))``
+    under ``strategy="tp"`` so each device holds only its stage. When
+    ``mesh`` is None (or lacks ``axis``) the same module runs the stack
+    sequentially on one device — identical numerics, used for parity tests.
+
+    Blocks are built dropout-free (pipeline microbatching would need
+    per-microbatch RNG threading; the reference's SAMA workloads run with
+    dropout disabled for hypergradient stability anyway).
+    """
+    import jax
+
+    from betty_tpu.module import FunctionalModule
+    from betty_tpu.parallel.pipeline import gpipe, sequential, stack_block_params
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    block = EncoderBlock(dim, heads, dropout=0.0)
+    sample_h = jnp.zeros((1, max_len, dim), jnp.float32)
+    sample_m = jnp.ones((1, 1, max_len, max_len), jnp.float32)
+
+    def block_init(key):
+        return block.init(key, sample_h, mask=sample_m, train=False)["params"]
+
+    k_blocks, k_emb, k_head1, k_head2 = jax.random.split(rng, 4)
+    init = jax.nn.initializers.normal(0.02)
+    params = {
+        "embed": {
+            "tok": init(k_emb, (vocab_size, dim), jnp.float32),
+            "pos": init(jax.random.fold_in(k_emb, 1), (1, max_len, dim),
+                        jnp.float32),
+        },
+        "blocks": stack_block_params(block_init, k_blocks, depth),
+        "head": {
+            "ln_scale": jnp.ones((dim,)),
+            "ln_bias": jnp.zeros((dim,)),
+            "pool_w": init(k_head1, (dim, dim), jnp.float32),
+            "pool_b": jnp.zeros((dim,)),
+            "out_w": init(k_head2, (dim, num_classes), jnp.float32),
+            "out_b": jnp.zeros((num_classes,)),
+        },
+    }
+
+    def block_apply(p_i, carry):
+        h, mask = carry
+        out = block.apply({"params": p_i}, h, mask=mask, train=False)
+        return (out, mask)
+
+    pipelined = mesh is not None and axis in getattr(mesh, "shape", {})
+
+    def apply_fn(variables, input_ids, train=True, rngs=None, mutable=(),
+                 **kwargs):
+        p = variables["params"]
+        L = input_ids.shape[1]
+        pad_mask = input_ids != pad_id
+        attn_mask = (
+            pad_mask[:, None, :, None] & pad_mask[:, None, None, :]
+        ).astype(jnp.float32)  # nn.make_attention_mask semantics
+
+        x = jnp.take(p["embed"]["tok"], input_ids, axis=0)
+        x = x + p["embed"]["pos"][:, :L]
+
+        if pipelined:
+            x, _ = gpipe(block_apply, p["blocks"], (x, attn_mask), mesh,
+                         axis=axis, num_microbatches=num_microbatches)
+        else:
+            x, _ = sequential(block_apply, p["blocks"], (x, attn_mask))
+
+        h = p["head"]
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + 1e-6) * h["ln_scale"] + h["ln_bias"]
+        denom = jnp.maximum(pad_mask.sum(axis=1, keepdims=True), 1)
+        pooled = (x * pad_mask[..., None]).sum(axis=1) / denom
+        pooled = jnp.tanh(pooled @ h["pool_w"] + h["pool_b"])
+        out = pooled @ h["out_w"] + h["out_b"]
+        if mutable:
+            return out, {}
+        return out
+
+    return FunctionalModule(apply_fn, variables={"params": params})
