@@ -96,6 +96,7 @@ def make_pipelined_transformer(
     pad_id: int = 1,
     axis: str = "pp",
     num_microbatches=None,
+    seq_axis=None,
     rng=None,
 ):
     """A TransformerClassifier whose encoder stack runs as a GPipe pipeline
@@ -112,6 +113,12 @@ def make_pipelined_transformer(
     Blocks are built dropout-free (pipeline microbatching would need
     per-microbatch RNG threading; the reference's SAMA workloads run with
     dropout disabled for hypergradient stability anyway).
+
+    ``seq_axis``: optional SEQUENCE-PARALLEL mode (mutually exclusive with
+    pipelining): activations between blocks are sharding-constrained to
+    ``P(dp, seq_axis, None)`` so LayerNorm/MLP compute partitions over the
+    sequence dimension, with GSPMD inserting the gathers attention needs —
+    the Megatron-SP layout (arXiv:2205.05198 §4.2).
     """
     import jax
 
@@ -152,6 +159,24 @@ def make_pipelined_transformer(
         return (out, mask)
 
     pipelined = mesh is not None and axis in getattr(mesh, "shape", {})
+    seq_parallel = (
+        not pipelined
+        and seq_axis is not None
+        and mesh is not None
+        and seq_axis in getattr(mesh, "shape", {})
+    )
+    if seq_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _act_sharding = NamedSharding(
+            mesh,
+            _P("dp" if "dp" in mesh.shape else None, seq_axis, None),
+        )
+
+        def _constrain(h):
+            return jax.lax.with_sharding_constraint(h, _act_sharding)
+    else:
+        _constrain = lambda h: h  # noqa: E731
 
     def apply_fn(variables, input_ids, train=True, rngs=None, mutable=(),
                  **kwargs):
@@ -168,6 +193,12 @@ def make_pipelined_transformer(
         if pipelined:
             x, _ = gpipe(block_apply, p["blocks"], (x, attn_mask), mesh,
                          axis=axis, num_microbatches=num_microbatches)
+        elif seq_parallel:
+            def sp_block(p_i, carry):
+                h, m = block_apply(p_i, carry)
+                return (_constrain(h), m)
+
+            x, _ = sequential(sp_block, p["blocks"], (_constrain(x), attn_mask))
         else:
             x, _ = sequential(block_apply, p["blocks"], (x, attn_mask))
 
