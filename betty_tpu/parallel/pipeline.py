@@ -74,7 +74,14 @@ def gpipe(
     param_specs = jax.tree_util.tree_map(
         lambda a: P(axis, *([None] * (a.ndim - 1))), stacked_params
     )
-    x_specs = jax.tree_util.tree_map(lambda a: P(), x_mb)
+    # Compose with data parallelism: when the mesh has a "dp" axis, each dp
+    # row pipelines only its shard of every microbatch (the pp ring runs
+    # within the row); otherwise the batch is replicated over non-pp axes.
+    dp = "dp" if ("dp" in mesh.shape and mesh.shape["dp"] > 1
+                  and mb % mesh.shape["dp"] == 0) else None
+    x_specs = jax.tree_util.tree_map(
+        lambda a: P(None, dp, *([None] * (a.ndim - 2))), x_mb
+    )
 
     def stage_fn(params_local, x_mb):
         # params_local leaves: [depth/S, ...]; x_mb leaves: [M, mb, ...]
@@ -122,7 +129,9 @@ def gpipe(
         )
         return y
 
-    out_specs = jax.tree_util.tree_map(lambda a: P(), x_mb)
+    out_specs = jax.tree_util.tree_map(
+        lambda a: P(None, dp, *([None] * (a.ndim - 2))), x_mb
+    )
     y_mb = _shard_map(
         stage_fn,
         mesh=mesh,
