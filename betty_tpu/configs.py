@@ -139,6 +139,10 @@ class EngineConfig:
     autoshard_data: bool = True
     # jax.profiler trace directory; None disables.
     profile_dir: Optional[str] = None
+    # Persistent XLA compilation cache directory: compiled programs survive
+    # process restarts (elastic resume, iterative development), turning the
+    # 20-40s first-compile of large blocks into a disk read. None disables.
+    compile_cache_dir: Optional[str] = None
     # checkpointing
     checkpoint_dir: Optional[str] = None
     checkpoint_step: int = 0  # 0 disables periodic engine checkpoints

@@ -81,6 +81,16 @@ class Engine:
         joined first; the mesh then spans all processes' devices and one
         controller program drives them (SURVEY.md §5.8)."""
         maybe_init_distributed()
+        if self.config.compile_cache_dir:
+            # persistent XLA compilation cache: recompiles after restart
+            # (auto_resume elasticity, repeated runs) become disk reads
+            import os
+
+            os.makedirs(self.config.compile_cache_dir, exist_ok=True)
+            jax.config.update(
+                "jax_compilation_cache_dir", self.config.compile_cache_dir
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         strategy = self._strategy
         if strategy in ("distributed", "dp", "zero", "fsdp", "tp") or (
             self.config.mesh_shape is not None

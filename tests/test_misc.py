@@ -70,3 +70,50 @@ def test_set_dependency_reset():
     ]
     engine.train_iters = 2
     engine.run()  # still trains after a dependency reset
+
+
+def test_compile_cache_dir_populated(tmp_path):
+    """EngineConfig.compile_cache_dir turns on the persistent XLA
+    compilation cache so restarts skip recompiles."""
+    import optax
+
+    from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+    from betty_tpu.module import from_fn
+
+    class Outer(ImplicitProblem):
+        def training_step(self, batch):
+            x, y = batch
+            return optax.sigmoid_binary_cross_entropy(self.inner(x), y).mean()
+
+    class Inner(ImplicitProblem):
+        def training_step(self, batch):
+            x, y = batch
+            l2 = jnp.sum(self.params["w"] ** 2)
+            return (optax.sigmoid_binary_cross_entropy(self.module(x), y).mean()
+                    + 0.5 * self.outer()[0] * l2)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 8), jnp.float32)
+    y = jnp.asarray((rng.rand(64) > 0.5).astype(np.float32))
+    cache = tmp_path / "xla_cache"
+
+    inner = Inner("inner", module=from_fn(lambda p, i: i @ p["w"],
+                                          {"w": jnp.zeros(8)}),
+                  optimizer=optim.sgd(lr=0.1), train_data_loader=[(x, y)],
+                  config=Config(type="darts"))
+    outer = Outer("outer", module=from_fn(lambda p: p["w"],
+                                          {"w": jnp.full((1,), 0.01)}),
+                  optimizer=optim.sgd(lr=0.1), train_data_loader=[(x, y)],
+                  config=Config())
+    eng = Engine(config=EngineConfig(train_iters=2,
+                                     compile_cache_dir=str(cache)),
+                 problems=[outer, inner],
+                 dependencies={"u2l": {outer: [inner]},
+                               "l2u": {inner: [outer]}})
+    eng.run()
+    # the cache may skip sub-second programs depending on backend; the
+    # config path itself must be active
+    import jax as _jax
+
+    assert _jax.config.jax_compilation_cache_dir == str(cache)
+    assert cache.exists()
