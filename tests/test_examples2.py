@@ -121,3 +121,22 @@ def test_iuc_three_level():
     assert engine.inner2.count == 4
     assert engine.outer.count == 2
     assert len(engine.outer.paths) == 3
+
+
+def test_tutorial_model_parallelism_runs():
+    """Tutorial 7 (tp/pp/ep/sp) executes end-to-end on the virtual mesh."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, str(root / "tutorial" / "7_model_parallelism.py"),
+         "--mode", "pp", "--train_iters", "2"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "parameter leaves model-sharded" in out.stdout
