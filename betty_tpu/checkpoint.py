@@ -49,29 +49,62 @@ def _host_meta(engine) -> Dict[str, Any]:
     }
 
 
+def _to_host(tree):
+    """device_get that also handles multi-host global arrays (a plain
+    device_get raises on non-fully-addressable shards); every process must
+    call this (process_allgather is collective)."""
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(get, tree)
+
+
 def save_engine_state(engine, path: str):
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    states = {name: jax.device_get(s) for name, s in engine.states.items()}
+    states = {name: _to_host(s) for name, s in engine.states.items()}
     # roll-back caches are live state too: a mid-unroll checkpoint under
     # roll_back must restore the pre-unroll snapshot or the post-meta-update
     # re-step would recover from the wrong point
     for p in engine.problems:
         if p._state_cache is not None:
-            states[f"__rollback__{p.name}"] = jax.device_get(p._state_cache)
-    if _HAS_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, f"step_{engine.global_step}"), states,
-                   force=True)
-        ckptr.wait_until_finished()
-    else:  # numpy fallback
-        flat, _ = jax.tree_util.tree_flatten_with_path(states)
-        np.savez(
-            os.path.join(path, f"step_{engine.global_step}.npz"),
-            **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
-        )
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(_host_meta(engine), f)
+            states[f"__rollback__{p.name}"] = _to_host(p._state_cache)
+    # ITD problems mid-unroll: the recorded differentiation starting point
+    # and consumed batches are live state too (the parent's replay needs
+    # them; without this a mid-unroll resume of an IterativeProblem crashes)
+    meta_extra = {}
+    for p in engine.problems:
+        start = getattr(p, "_unroll_start_state", None)
+        batches = getattr(p, "_unroll_batches", None)
+        if start is not None and batches:
+            states[f"__unroll_start__{p.name}"] = _to_host(start)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+            )
+            states[f"__unroll_batches__{p.name}"] = _to_host(stacked)
+            meta_extra.setdefault("unroll_recorded", {})[p.name] = len(batches)
+    # all processes participated in the collective gathers above; only one
+    # writes (shared-filesystem assumption for multi-host, as with torch.save)
+    if jax.process_index() == 0:
+        if _HAS_ORBAX:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.join(path, f"step_{engine.global_step}"),
+                       states, force=True)
+            ckptr.wait_until_finished()
+        else:  # numpy fallback
+            flat, _ = jax.tree_util.tree_flatten_with_path(states)
+            np.savez(
+                os.path.join(path, f"step_{engine.global_step}.npz"),
+                **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
+            )
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({**_host_meta(engine), **meta_extra}, f)
 
 
 def restore_engine_state(engine, path: str):
@@ -79,11 +112,31 @@ def restore_engine_state(engine, path: str):
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     step = meta["global_step"]
-    states = {name: jax.device_get(s) for name, s in engine.states.items()}
+    states = {name: _to_host(s) for name, s in engine.states.items()}
     # skeleton entries for saved roll-back caches (same pytree structure as
     # the problem's state)
     for name in meta.get("rollback_cached", []):
         states[f"__rollback__{name}"] = states[name]
+    # skeletons for mid-unroll ITD recordings: start state mirrors the
+    # problem state; the stacked-batches skeleton is probed from the loader
+    # (requires ArrayLoader-style iter_from — generic iterables restart
+    # their epoch on resume, so no unroll can be mid-flight for them)
+    for pname, k in meta.get("unroll_recorded", {}).items():
+        p = next(q for q in engine.problems if q.name == pname)
+        if not all(hasattr(dl, "iter_from") for dl in p.train_data_loader):
+            continue
+        probes = tuple(
+            p._convert_batch(next(dl.iter_from(0, 0)))
+            for dl in p.train_data_loader
+        )
+        probe = probes[0] if len(probes) == 1 else probes
+        states[f"__unroll_start__{pname}"] = states[pname]
+        states[f"__unroll_batches__{pname}"] = jax.tree_util.tree_map(
+            lambda a: np.zeros((k,) + tuple(np.shape(a)),
+                               dtype=np.asarray(a).dtype),
+            jax.device_get(probe),
+        )
+
     if _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.join(path, f"step_{step}"), states)
@@ -93,10 +146,16 @@ def restore_engine_state(engine, path: str):
         restored = jax.tree_util.tree_unflatten(
             treedef, [data[jax.tree_util.keystr(k)] for k, _ in flat]
         )
-    rollback_caches = {}
+    rollback_caches, unroll_starts, unroll_batches = {}, {}, {}
     for name, st in restored.items():
         if name.startswith("__rollback__"):
             rollback_caches[name[len("__rollback__"):]] = st
+            continue
+        if name.startswith("__unroll_start__"):
+            unroll_starts[name[len("__unroll_start__"):]] = st
+            continue
+        if name.startswith("__unroll_batches__"):
+            unroll_batches[name[len("__unroll_batches__"):]] = st
             continue
         # preserve each leaf's sharding (ZeRO/FSDP layouts must survive
         # resume or a model that only fits sharded will OOM replicated)
@@ -135,3 +194,27 @@ def restore_engine_state(engine, path: str):
                     )
                     if hasattr(dl, "sync_cursor"):
                         dl.sync_cursor(p.epoch_counter[i], served[i])
+                else:
+                    # generic iterable: the epoch restarts from batch 0, so
+                    # the served counter must restart too or the NEXT
+                    # checkpoint would record batches never consumed
+                    p.batches_served[i] = 0
+        if p.name in unroll_starts and p.name in unroll_batches:
+            # mid-unroll ITD recording: restore the differentiation start
+            # state and re-split the stacked batches (device arrays)
+            k = meta["unroll_recorded"][p.name]
+            p._unroll_start_state = jax.tree_util.tree_map(
+                lambda new, cur: jax.device_put(
+                    jax.numpy.asarray(new, dtype=cur.dtype), cur.sharding
+                ),
+                unroll_starts[p.name],
+                engine.states[p.name],
+            )
+            stacked = jax.tree_util.tree_map(
+                jax.numpy.asarray, unroll_batches[p.name]
+            )
+            p._unroll_batches = [
+                jax.tree_util.tree_map(lambda a: a[j], stacked)
+                for j in range(k)
+            ]
+            p._pending_unroll_reset = False

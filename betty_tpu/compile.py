@@ -206,7 +206,12 @@ class BlockRunner:
     batched host->device transfer) per K meta-periods, which amortizes tunnel
     and dispatch latency to near zero."""
 
-    def __init__(self, engine, scan_periods: int = 1):
+    def __init__(self, engine, scan_periods: int = 1,
+                 schedule_only: bool = False):
+        """``schedule_only=True`` builds just the schedule simulation
+        (events/period) without staging datasets — used by the engine's
+        probe pass so the real runner's device-resident copies are the only
+        ones alive."""
         self.engine = engine
         self.scan_periods = max(1, int(scan_periods))
         self.problems = {p.name: p for p in engine.problems}
@@ -214,6 +219,8 @@ class BlockRunner:
         sim = _Simulator(engine)
         self.initial_phase = sim.phase()
         self.events, self.period = sim.run()
+        if schedule_only:
+            return
         self.segments = compress(self.events, self.problems)
         # count advancement per period (rollback re-steps do not advance)
         self.count_delta = {
@@ -238,6 +245,8 @@ class BlockRunner:
                 and isinstance(dl[0], ArrayLoader)
                 and dl[0].device
                 and dl[0].drop_last
+                # custom host-side batch logic can't ride in-device gathers
+                and type(dl[0]).postprocess is ArrayLoader.postprocess
                 and type(p).get_batch is _ProblemBase.get_batch
                 and not type(p).__dict__.get("epoch_callback")
                 # multi-process: per-host dataset shards can't serve global

@@ -63,13 +63,22 @@ class ArrayLoader:
             return np.random.RandomState(self.seed + epoch).permutation(self.n)
         return np.arange(self.n)
 
+    def postprocess(self, batch):
+        """Hook for subclasses (augmentation, tokenization, ...). Applied on
+        EVERY host-side batch path — ``__iter__`` and the mid-epoch
+        ``iter_from`` resume — so overriding this (rather than ``__iter__``)
+        keeps custom batch logic across checkpoints and multi-host sharding.
+        Loaders overriding it are excluded from the compiled-block in-device
+        gather fast path (the gathers bypass host code)."""
+        return batch
+
     def __iter__(self):
         order = self._epoch_order(self.epoch)
         end = self.n - self.batch_size + 1 if self.drop_last else self.n
         for i in range(0, end, self.batch_size):
             idx = order[i : i + self.batch_size]
             batch = tuple(a[idx] for a in self.arrays)
-            yield batch[0] if len(batch) == 1 else batch
+            yield self.postprocess(batch[0] if len(batch) == 1 else batch)
 
     def take_indices(self, count: int) -> np.ndarray:
         """Fast-path API for the compiled-block runner: advance by ``count``
@@ -123,7 +132,7 @@ class ArrayLoader:
                        self.batch_size):
             idx = order[i : i + self.batch_size]
             batch = tuple(a[idx] for a in self.arrays)
-            yield batch[0] if len(batch) == 1 else batch
+            yield self.postprocess(batch[0] if len(batch) == 1 else batch)
 
 
 def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,
@@ -131,6 +140,8 @@ def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,
     """Per-host example sharding: process i keeps examples i::N
     (counterpart of the reference's rank-round-robin
     ``DistributedBatchSampler``, ``betty/patch/data_loader.py:7-61``)."""
+    import copy
+
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
@@ -138,11 +149,18 @@ def shard_loader(loader: ArrayLoader, process_index: Optional[int] = None,
     arrays = tuple(
         np.asarray(a)[process_index::process_count] for a in loader.arrays
     )
-    return ArrayLoader(
-        *arrays, batch_size=loader.batch_size, seed=loader.seed,
-        drop_last=loader.drop_last, shuffle=loader.shuffle,
-        device=loader.device,
-    )
+    if loader.device:
+        arrays = tuple(jax.device_put(a) for a in arrays)
+    # shallow-copy so ArrayLoader SUBCLASSES (custom postprocess/attrs)
+    # survive the per-host resharding, then swap in the shard
+    new = copy.copy(loader)
+    new.arrays = arrays
+    new.n = len(arrays[0])
+    new.epoch = 0
+    for attr in ("_fp_pos", "_fp_order", "_fp_epoch"):
+        if hasattr(new, attr):
+            delattr(new, attr)
+    return new
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2,

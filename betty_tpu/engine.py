@@ -309,7 +309,7 @@ class Engine:
         (see betty_tpu/compile.py). Numerically equivalent to driver mode."""
         from betty_tpu.compile import BlockRunner
 
-        probe = BlockRunner(self)  # schedule simulation only (cheap)
+        probe = BlockRunner(self, schedule_only=True)  # no dataset staging
         # a block may never span more than one validation (or checkpoint)
         # boundary, or boundaries inside it would be silently skipped and
         # early stopping would see fewer evaluations than driver mode

@@ -38,29 +38,40 @@ def precondition_adam(vector, curr, curr_state):
     """Reconstruct the pre-step Adam moments from the cached last gradient
     and scale the vector by the local curvature of the Adam update
     (reference ``hypergradient/utils.py:37-63``)."""
-    beta1, beta2 = curr.optimizer.betas
-    eps = curr.optimizer.eps
-    if curr.optimizer.schedule is not None:
-        lr = curr.optimizer.schedule(curr_state["sched_step"])
-    else:
-        lr = curr.optimizer.lr
-
-    mu, nu = curr.optimizer.adam_moments(curr_state["opt_state"])
+    opt = curr.optimizer
+    mu, nu = opt.adam_moments(curr_state["opt_state"])
     last_grad = curr_state.get("last_grad")
     assert last_grad is not None, (
         "SAMA requires last_grad state; is curr's config.type == 'sama'?"
     )
 
-    def precond_leaf(v, m, n, lg):
-        exp_avg_old = (m - (1 - beta1) * lg) / beta1 if beta1 != 0 else 0.0
-        exp_avg_sq_old = (n - (1 - beta2) * lg * lg) / beta2
-        scale = (1 - beta1) * beta2 * exp_avg_sq_old - beta1 * (
-            1 - beta2
-        ) * lg * exp_avg_old
+    if getattr(opt, "group_meta", None) is not None:
+        # param_groups: per-leaf lr/betas/eps, exactly the reference's
+        # per-param_group reads (utils.py:45-61)
+        lr_tree, b1_tree, b2_tree, eps_tree = opt.leaf_hyperparam_trees(
+            curr_state["sched_step"]
+        )
+    else:
+        beta1, beta2 = opt.betas
+        if opt.schedule is not None:
+            lr = opt.schedule(curr_state["sched_step"])
+        else:
+            lr = opt.lr
+        const = lambda v: jax.tree_util.tree_map(lambda _: v, mu)  # noqa: E731
+        lr_tree, b1_tree, b2_tree = const(lr), const(beta1), const(beta2)
+        eps_tree = const(opt.eps)
+
+    def precond_leaf(v, m, n, lg, lr, b1, b2, eps):
+        exp_avg_old = (m - (1 - b1) * lg) / b1 if b1 != 0 else 0.0
+        exp_avg_sq_old = (n - (1 - b2) * lg * lg) / b2
+        scale = (1 - b1) * b2 * exp_avg_sq_old - b1 * (1 - b2) * lg * exp_avg_old
         scale = scale / (jnp.sqrt(n) + eps) ** 3
         return v * scale * lr
 
-    return jax.tree_util.tree_map(precond_leaf, vector, mu, nu, last_grad)
+    return jax.tree_util.tree_map(
+        precond_leaf, vector, mu, nu, last_grad,
+        lr_tree, b1_tree, b2_tree, eps_tree,
+    )
 
 
 def sama(vector, curr, prev, ctx, states, curr_batch, rng):

@@ -21,6 +21,7 @@ per-step learning-rate schedule (counterpart of
 
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -115,13 +116,66 @@ class GroupedOptimizer(Optimizer):
     ``group_schedules``: per-group-label LR schedules (None = static lr).
     """
 
-    def __init__(self, tx, base: Optimizer, group_schedules):
+    def __init__(self, tx, base: Optimizer, group_schedules, labels=None,
+                 group_meta=None):
         super().__init__(tx, kind=base.kind, lr=base.lr, betas=base.betas,
                          eps=base.eps,
                          schedule=base.schedule if any(
                              s is not None for s in group_schedules.values()
                          ) else None)
         self.group_schedules = group_schedules
+        self.labels = labels          # per-leaf group label pytree
+        self.group_meta = group_meta  # {label: {"lr","betas","eps","schedule"}}
+
+    def adam_moments(self, opt_state):
+        """Merge per-group Adam moments back into full parameter-shaped
+        trees (optax.masked fills non-member leaves with MaskedNode) so
+        SAMA preconditioning works across groups."""
+        from optax import MaskedNode
+
+        mus, nus = [], []
+        for label, st in opt_state.inner_states.items():
+            inner = st.inner_state if hasattr(st, "inner_state") else st
+            found = find_adam_state(inner)
+            if found is None:
+                raise ValueError(
+                    "SAMA preconditioning with param_groups requires every "
+                    f"group to be Adam-family; group {label} is not."
+                )
+            mus.append(found.mu)
+            nus.append(found.nu)
+
+        is_node = lambda x: isinstance(x, MaskedNode)  # noqa: E731
+
+        def merge(*leaves):
+            real = [x for x in leaves if not isinstance(x, MaskedNode)]
+            assert len(real) == 1, "param groups must partition the leaves"
+            return real[0]
+
+        mu = jax.tree_util.tree_map(merge, *mus, is_leaf=is_node)
+        nu = jax.tree_util.tree_map(merge, *nus, is_leaf=is_node)
+        return mu, nu
+
+    def leaf_hyperparam_trees(self, sched_step):
+        """Per-leaf (lr, beta1, beta2, eps) trees for SAMA preconditioning —
+        the counterpart of the reference's per-param_group reads
+        (``hypergradient/utils.py:45-61``)."""
+
+        def of(key):
+            def leaf(label):
+                m = self.group_meta[label]
+                if key == "lr":
+                    return (m["schedule"](sched_step)
+                            if m["schedule"] is not None else m["lr"])
+                if key == "b1":
+                    return m["betas"][0]
+                if key == "b2":
+                    return m["betas"][1]
+                return m["eps"]
+
+            return jax.tree_util.tree_map(leaf, self.labels)
+
+        return of("lr"), of("b1"), of("b2"), of("eps")
 
     def update(self, grads, opt_state, params, sched_step=None):
         if sched_step is not None and any(
@@ -171,7 +225,7 @@ def grouped(base: Optimizer, groups, params) -> GroupedOptimizer:
             "(sgd/adam/adamw) as the template; got a raw optax transform"
         )
     fn, base_kw = base._ctor
-    txs, schedules = {}, {}
+    txs, schedules, group_meta = {}, {}, {}
     for i, g in enumerate(groups):
         kw = dict(base_kw)
         kw.update({k: v for k, v in g.items() if k not in ("select", "schedule")})
@@ -183,6 +237,12 @@ def grouped(base: Optimizer, groups, params) -> GroupedOptimizer:
             kw["schedule"] = sched
         txs[i] = fn(**kw).tx
         schedules[i] = sched
+        group_meta[i] = {
+            "lr": kw.get("lr", base.lr),
+            "betas": kw.get("betas", base.betas),
+            "eps": kw.get("eps", base.eps),
+            "schedule": sched,
+        }
 
     compiled = [
         (re.compile(g["select"]) if g.get("select") else None) for g in groups
@@ -199,7 +259,8 @@ def grouped(base: Optimizer, groups, params) -> GroupedOptimizer:
         )
 
     labels = jax.tree_util.tree_map_with_path(label_for, params)
-    return GroupedOptimizer(optax.multi_transform(txs, labels), base, schedules)
+    return GroupedOptimizer(optax.multi_transform(txs, labels), base,
+                            schedules, labels=labels, group_meta=group_meta)
 
 
 def _maybe_inject(factory, schedule, static=(), **kwargs):

@@ -126,11 +126,17 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def _spec_fits(x, spec: P, axis_size: int) -> bool:
+def _spec_fits(x, spec: P, mesh: Mesh) -> bool:
+    """A spec fits iff every named dimension is divisible by the TOTAL size
+    of the axes it names (each spec entry may be one axis or a tuple)."""
     for d, names in enumerate(spec):
         if names is None:
             continue
-        if d >= x.ndim or x.shape[d] % axis_size != 0:
+        if d >= x.ndim:
+            return False
+        ns = names if isinstance(names, tuple) else (names,)
+        size = math.prod(mesh.shape[n] for n in ns)
+        if x.shape[d] % size != 0:
             return False
     return True
 
@@ -158,12 +164,12 @@ def tp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
         for pat, spec_t in user:
             if pat.search(pstr):
                 spec = P(*spec_t)
-                if _spec_fits(x, spec, axis_size):
+                if _spec_fits(x, spec, mesh):
                     return spec
         for pat, fn in _TP_RULES:
             if pat.search(pstr):
                 spec = fn(axis, x)
-                if spec is not None and _spec_fits(x, spec, axis_size):
+                if spec is not None and _spec_fits(x, spec, mesh):
                     return spec
         if x.ndim == 0 or x.size < min_size:
             return P()
@@ -254,6 +260,8 @@ def maybe_init_distributed():
             jax.distributed.initialize()
             maybe_init_distributed._done = True
     except RuntimeError as e:  # already initialized by the user
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             raise
         maybe_init_distributed._done = True

@@ -27,8 +27,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8
     from jax import shard_map as _shard_map
+
+    _REPLICATION_KW = "check_vma"
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
+
+    _REPLICATION_KW = "check_rep"  # pre-0.8 spelling
 
 
 def stack_block_params(block_init: Callable, rng, depth: int):
@@ -137,7 +141,7 @@ def gpipe(
         mesh=mesh,
         in_specs=(param_specs, x_specs),
         out_specs=out_specs,
-        check_vma=False,
+        **{_REPLICATION_KW: False},
     )(stacked_params, x_mb)
     return jax.tree_util.tree_map(
         lambda a: a.reshape((B,) + a.shape[2:]), y_mb

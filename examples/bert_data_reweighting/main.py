@@ -24,6 +24,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -174,14 +175,10 @@ class SST2Engine(Engine):
     def validation(self):
         if self.dev_data is None:
             return {}
+        from vision_data import problem_accuracy
+
         x, y = self.dev_data
-        bs = min(self.eval_batch, len(y))
-        correct = n = 0
-        for i in range(0, len(y) - bs + 1, bs):
-            logits = self.classifier(jnp.asarray(x[i : i + bs]))
-            correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
-            n += bs
-        acc = 100.0 * correct / max(n, 1)
+        acc = problem_accuracy(self.classifier, x, y, batch=self.eval_batch)
         if acc > self.best_acc:
             self.best_acc = acc
             if self.checkpoint_dir:

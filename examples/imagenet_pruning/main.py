@@ -137,14 +137,10 @@ class PruneEngine(Engine):
     def validation(self):
         if self.test_data is None:
             return {}
+        from vision_data import problem_accuracy
+
         x, y = self.test_data
-        bs = min(256, len(y))
-        correct = n = 0
-        for i in range(0, len(y) - bs + 1, bs):
-            logits = self.classifier(jnp.asarray(x[i : i + bs]))
-            correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
-            n += bs
-        return {"top1": 100.0 * correct / max(n, 1)}
+        return {"top1": problem_accuracy(self.classifier, x, y)}
 
 
 def build_engine(args):

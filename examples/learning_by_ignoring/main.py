@@ -17,6 +17,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -97,14 +98,10 @@ class LBIEngine(Engine):
     def validation(self):
         if self.test_data is None:
             return {}
+        from vision_data import problem_accuracy
+
         x, y = self.test_data
-        bs = min(256, len(y))
-        correct = n = 0
-        for i in range(0, len(y) - bs + 1, bs):
-            logits = self.finetune(jnp.asarray(x[i : i + bs]))
-            correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
-            n += bs
-        return {"test_acc": 100.0 * correct / max(n, 1)}
+        return {"test_acc": problem_accuracy(self.finetune, x, y)}
 
 
 def build_engine(args):

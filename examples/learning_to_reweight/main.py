@@ -19,6 +19,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
@@ -54,13 +55,13 @@ class BatchLoader(ArrayLoader):
         self.augment = augment
         self._aug_rng = np.random.RandomState(seed + 77)
 
-    def __iter__(self):
-        for batch in super().__iter__():
-            if self.augment:
-                x, y = batch
-                yield augment_batch(np.asarray(x), self._aug_rng), y
-            else:
-                yield batch
+    def postprocess(self, batch):
+        # hook (not __iter__) so augmentation survives mid-epoch checkpoint
+        # resume (iter_from) and per-host sharding (shard_loader)
+        if self.augment:
+            x, y = batch
+            return augment_batch(np.asarray(x), self._aug_rng), y
+        return batch
 
 
 class Reweight(ImplicitProblem):
@@ -95,14 +96,10 @@ class MWNEngine(Engine):
     def validation(self):
         if self.test_data is None:
             return {}
+        from vision_data import problem_accuracy
+
         x, y = self.test_data
-        correct = 0
-        for i in range(0, len(y) - self.eval_batch + 1, self.eval_batch):
-            logits = self.classifier(jnp.asarray(x[i : i + self.eval_batch]))
-            correct += int((np.asarray(logits).argmax(1) ==
-                            y[i : i + self.eval_batch]).sum())
-        n = (len(y) // self.eval_batch) * self.eval_batch
-        acc = 100.0 * correct / max(n, 1)
+        acc = problem_accuracy(self.classifier, x, y, batch=self.eval_batch)
         if acc > self.best_acc:
             self.best_acc = acc
             if self.checkpoint_dir:

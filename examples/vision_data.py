@@ -93,3 +93,17 @@ def accuracy_eval(apply_fn, variables, x, y, batch=512):
         correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
         n += bs
     return 100.0 * correct / max(n, 1)
+
+
+def problem_accuracy(fwd, x, y, batch=256):
+    """Batched eval accuracy through a problem's forward (``engine.<name>``),
+    shared by the example engines' ``validation()`` implementations."""
+    import jax.numpy as jnp
+
+    bs = min(batch, len(y))
+    correct = n = 0
+    for i in range(0, len(y) - bs + 1, bs):
+        logits = fwd(jnp.asarray(x[i : i + bs]))
+        correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
+        n += bs
+    return 100.0 * correct / max(n, 1)

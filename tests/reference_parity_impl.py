@@ -663,6 +663,123 @@ def run_penalty_case(iters=10):
     return ok
 
 
+# ------------------------------------------------------- param_groups + sama
+WA0 = 0.3 * rng.randn(DIM)
+WB0 = 0.3 * rng.randn(DIM)
+
+
+def run_param_groups_sama_case(iters=12, unroll=3):
+    """Per-group lr through the SAMA preconditioner (reference reads
+    param_group['lr'] per parameter, hypergradient/utils.py:45-61) — the
+    actual reference engine with a two-group torch.optim.Adam vs betty_tpu's
+    param_groups hook."""
+
+    class RefTwo(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.wa = torch.nn.Parameter(torch.as_tensor(WA0.copy()))
+            self.wb = torch.nn.Parameter(torch.as_tensor(WB0.copy()))
+
+        def forward(self, inputs):
+            w = self.wa + self.wb
+            return inputs @ w, w
+
+    class RefTwoInner(RefImplicitProblem):
+        training_step = RefInner.training_step
+
+        def param_groups(self):
+            # the reference DISCARDS groups passed via the optimizer ctor
+            # (patch_optimizer re-instantiates from module.parameters() with
+            # ctor defaults, betty/patch/optimizer.py:14-17); per-group
+            # hyperparams must come through this hook (problem.py:253-254)
+            return [
+                {"params": [self.module.wa], "lr": 0.05},
+                {"params": [self.module.wb], "lr": 0.01},
+            ]
+
+    mod = RefTwo()
+    ref_inner = RefTwoInner(
+        name="inner", module=mod,
+        optimizer=torch.optim.Adam(mod.parameters(), lr=0.05),
+        train_data_loader=[
+            (torch.as_tensor(x.copy()), torch.as_tensor(y.copy()))
+            for x, y in TRAIN_BATCHES
+        ],
+        config=RefConfig(type="sama", unroll_steps=unroll,
+                         sama_adam_alpha=1.0),
+    )
+    outer_module = RefParentNet()
+    ref_outer = RefOuter(
+        name="outer", module=outer_module,
+        optimizer=torch.optim.SGD(outer_module.parameters(), lr=0.1,
+                                  momentum=0.9),
+        train_data_loader=[
+            (torch.as_tensor(x.copy()), torch.as_tensor(y.copy()))
+            for x, y in VALID_BATCHES
+        ],
+        config=RefConfig(),
+    )
+    ref_engine = RefEngine(
+        config=RefEngineConfig(train_iters=iters),
+        problems=[ref_outer, ref_inner],
+        dependencies={"u2l": {ref_outer: [ref_inner]},
+                      "l2u": {ref_inner: [ref_outer]}},
+    )
+
+    class JaxTwoInner(ImplicitProblem):
+        training_step = JaxInner.training_step
+
+        def param_groups(self):
+            return [
+                {"select": r"^wa", "lr": 0.05},
+                {"select": None, "lr": 0.01},
+            ]
+
+    jax_inner = JaxTwoInner(
+        name="inner",
+        module=from_fn(
+            lambda p, i: (i @ (p["wa"] + p["wb"]), p["wa"] + p["wb"]),
+            {"wa": jnp.asarray(WA0), "wb": jnp.asarray(WB0)},
+        ),
+        optimizer=optim.adam(lr=0.05),
+        train_data_loader=[(jnp.asarray(x), jnp.asarray(y)) for x, y in TRAIN_BATCHES],
+        config=Config(type="sama", unroll_steps=unroll, sama_adam_alpha=1.0),
+    )
+    jax_outer = JaxOuter(
+        name="outer",
+        module=from_fn(lambda p: p["w"], {"w": jnp.asarray(LAM0)}),
+        optimizer=optim.sgd(lr=0.1, momentum=0.9),
+        train_data_loader=[(jnp.asarray(x), jnp.asarray(y)) for x, y in VALID_BATCHES],
+        config=Config(),
+    )
+    jax_engine = Engine(
+        config=EngineConfig(train_iters=iters),
+        problems=[jax_outer, jax_inner],
+        dependencies={"u2l": {jax_outer: [jax_inner]},
+                      "l2u": {jax_inner: [jax_outer]}},
+    )
+
+    err = 0.0
+    for _ in range(iters):
+        ref_engine.train_step()
+        jax_engine.global_step += 1
+        jax_engine.train_step()
+        for t_p, key in ((mod.wa, "wa"), (mod.wb, "wb")):
+            err = max(err, float(np.max(np.abs(
+                t_p.detach().numpy()
+                - np.asarray(jax_engine.states["inner"]["params"][key])
+            ))))
+        err = max(err, float(np.max(np.abs(
+            outer_module.w.detach().numpy()
+            - np.asarray(jax_engine.states["outer"]["params"]["w"])
+        ))))
+    ok = err <= TOL
+    status = "OK " if ok else "FAIL"
+    print(f"{status} param_groups sama u{unroll} (per-group lr): "
+          f"max traj |diff| = {err:.3e}")
+    return ok
+
+
 # ---------------------------------------------------------------- harness
 SCENARIOS = [
     dict(name="darts u1", solver="darts", unroll=1, gas=1, rb=False, warmup=0,
@@ -734,6 +851,7 @@ def main():
     ok &= run_trilevel_case(unroll=1)
     ok &= run_trilevel_case(unroll=3)
     ok &= run_penalty_case()
+    ok &= run_param_groups_sama_case()
     sys.exit(0 if ok else 1)
 
 

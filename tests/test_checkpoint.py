@@ -142,3 +142,77 @@ def test_auto_resume_elastic_restart(tmp_path):
     assert e_b.global_step == 14
     w_res = np.asarray(e_b.states["inner"]["params"]["w"])
     assert np.array_equal(w_full, w_res), np.max(np.abs(w_full - w_res))
+
+
+def test_itd_midunroll_checkpoint_resume(tmp_path):
+    """A mid-unroll checkpoint of an IterativeProblem persists the recorded
+    differentiation start state + consumed batches, so a fresh engine
+    resumes and the parent's unroll replay matches the uninterrupted run
+    bit for bit (review finding r2: previously crashed in get_unroll_data)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from betty_tpu import Engine, IterativeProblem, ImplicitProblem, optim
+    from betty_tpu.data import ArrayLoader
+    from betty_tpu.module import from_fn
+    from fixtures import make_data
+
+    train, valid = make_data(n=160)
+
+    class Meta(ImplicitProblem):
+        def training_step(self, batch):
+            x, y = batch
+            return optax.sigmoid_binary_cross_entropy(
+                self.adapt(x), y).mean()
+
+    class Adapt(IterativeProblem):
+        def training_step(self, batch):
+            x, y = batch
+            return optax.sigmoid_binary_cross_entropy(
+                self.module(x), y).mean()
+
+        def unroll_init(self, start_params):
+            return self.meta.params  # MAML: differentiate to the meta-init
+
+    def build(iters):
+        meta = Meta("meta",
+                    module=from_fn(lambda p, x: x @ p["w"],
+                                   {"w": jnp.zeros(train[0].shape[1])}),
+                    optimizer=optim.sgd(lr=0.5),
+                    train_data_loader=ArrayLoader(
+                        np.asarray(valid[0]), np.asarray(valid[1]),
+                        batch_size=16, seed=1),
+                    config=Config(first_order=False))
+        adapt = Adapt("adapt",
+                      module=from_fn(lambda p, x: x @ p["w"],
+                                     {"w": jnp.zeros(train[0].shape[1])}),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=ArrayLoader(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=16, seed=0),
+                      config=Config(unroll_steps=4))
+        eng = Engine(config=EngineConfig(train_iters=iters),
+                     problems=[meta, adapt],
+                     dependencies={"u2l": {meta: [adapt]},
+                                   "l2u": {adapt: [meta]}})
+        return eng, meta, adapt
+
+    e_full, _, _ = build(14)
+    e_full.run()
+    w_full = np.asarray(e_full.states["meta"]["params"]["w"])
+
+    # cut at 6: 6 % 4 = 2 -> two recorded unroll batches are mid-flight
+    e_a, _, a_a = build(6)
+    e_a.run()
+    assert a_a._unroll_start_state is not None and len(a_a._unroll_batches) == 2
+    e_a.save_checkpoint(str(tmp_path))
+
+    e_b, _, a_b = build(14)
+    e_b.load_checkpoint(str(tmp_path))
+    assert len(a_b._unroll_batches) == 2, "unroll recording not restored"
+    for _ in range(8):
+        e_b.global_step += 1
+        e_b.train_step()
+    w_res = np.asarray(e_b.states["meta"]["params"]["w"])
+    assert np.max(np.abs(w_full - w_res)) < 1e-7, np.max(np.abs(w_full - w_res))
