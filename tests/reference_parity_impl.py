@@ -794,6 +794,9 @@ SCENARIOS = [
          warmup=4, iters=14, inner_opt="sgd"),
     dict(name="darts u2 sched", solver="darts", unroll=2, gas=1, rb=False,
          warmup=0, iters=12, inner_opt="sgd", sched=True),
+    dict(name="darts u2 clip0.5", solver="darts", unroll=2, gas=1, rb=False,
+         warmup=0, iters=12, inner_opt="sgd",
+         solver_kwargs=dict(gradient_clipping=0.5)),
     dict(name="cg u3", solver="cg", unroll=3, gas=1, rb=False, warmup=0,
          iters=12, inner_opt="sgd",
          solver_kwargs=dict(cg_iterations=3, cg_alpha=0.35)),
