@@ -37,11 +37,16 @@ class FunctionalModule:
         init_fn: Optional[Callable] = None,
         variables: Optional[Dict[str, Any]] = None,
         mutable_collections: Sequence[str] = (),
+        rng_names: Sequence[str] = ("dropout",),
     ):
         self.apply_fn = apply_fn
         self.init_fn = init_fn
         self.variables = variables
         self.mutable_collections = tuple(mutable_collections)
+        # rng collections the apply function consumes; Problem.forward feeds
+        # one per-step key per name (first name gets the step key itself,
+        # later names get stable folds of it)
+        self.rng_names = tuple(rng_names)
 
     def init(self, rng) -> Dict[str, Any]:
         if self.variables is not None:
@@ -75,7 +80,7 @@ def from_fn(apply_fn: Callable, params) -> FunctionalModule:
 
 def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
               train_kwarg: Optional[str] = None, rng_names: Sequence[str] = ("dropout",),
-              **sample_kwargs) -> FunctionalModule:
+              init_train: bool = False, **sample_kwargs) -> FunctionalModule:
     """Adapt a ``flax.linen.Module``.
 
     ``train_kwarg`` names the module's training-mode kwarg (e.g. ``"train"``
@@ -102,7 +107,9 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
             )
         kw = dict(sample_kwargs)
         if train_kwarg is not None:
-            kw[train_kwarg] = False
+            # init_train=True for modules whose parameter set only
+            # materializes in training mode (e.g. an auxiliary head)
+            kw[train_kwarg] = init_train
         variables = module.init(init_rngs, *sample_args, **kw, **apply_kwargs)
     variables = dict(variables)
     mutable_collections = tuple(k for k in variables.keys() if k != "params")
@@ -117,7 +124,8 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
         return module.apply(vs, *args, rngs=rngs, **kw)
 
     return FunctionalModule(apply_fn, variables=variables,
-                            mutable_collections=mutable_collections)
+                            mutable_collections=mutable_collections,
+                            rng_names=rng_names)
 
 
 def ensure_module(obj) -> FunctionalModule:

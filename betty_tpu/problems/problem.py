@@ -429,7 +429,20 @@ class Problem(abc.ABC):
             variables = tree_cast(variables, self.dtype)
             args = tuple(tree_cast(a, self.dtype) for a in args)
 
-        rngs = {"dropout": _TRACE_RNG} if (_TRACE_RNG is not None and self._training) else None
+        rngs = None
+        if _TRACE_RNG is not None and self._training:
+            # one per-step key per rng collection the module consumes; the
+            # first name keeps the step key itself (bit-compatible with the
+            # historical dropout-only behavior), later names get stable folds
+            import zlib
+
+            names = getattr(self.module_fn, "rng_names", ("dropout",))
+            rngs = {
+                name: _TRACE_RNG if i == 0 else jax.random.fold_in(
+                    _TRACE_RNG, zlib.crc32(name.encode()) & 0x7FFFFFFF
+                )
+                for i, name in enumerate(names)
+            }
         mutable = self.module_fn.mutable_collections if self._training else ()
         if mutable:
             # train-mode BatchNorm etc. must be allowed to write its

@@ -24,7 +24,8 @@ import numpy as np
 import optax
 
 from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
-from betty_tpu.models.darts import DARTSNetwork, derive_genotype, init_alphas
+from betty_tpu.models.darts import (DARTSNetwork, derive_genotype,
+                                    genotype_to_json, init_alphas)
 from betty_tpu.module import from_flax, from_fn
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "learning_to_reweight"))
@@ -152,10 +153,18 @@ def parse_args(argv=None):
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
                    help="CIFAR-10 pickle dir or npz; synthetic if unset")
+    p.add_argument("--genotype-out", type=str, default=None,
+                   help="write the final genotype as JSON (consumed by "
+                        "train.py, the evaluation phase)")
     return p.parse_args(argv)
 
 
 if __name__ == "__main__":
-    engine = build_engine(parse_args())
+    args = parse_args()
+    engine = build_engine(args)
     engine.run()
-    print("final genotype:", derive_genotype(engine.arch.params))
+    genotype = derive_genotype(engine.arch.params)
+    print("final genotype:", genotype)
+    if args.genotype_out:
+        Path(args.genotype_out).write_text(genotype_to_json(genotype))
+        print("wrote", args.genotype_out)

@@ -183,3 +183,42 @@ def test_bert_sama_reweighting_bf16():
         engine.states["reweight"]["params"]["Dense_0"]["kernel"]
     )
     assert np.all(np.isfinite(w))
+
+
+def test_nas_eval_phase(tmp_path):
+    """Evaluation phase of the NAS pipeline (reference model.py + train.py):
+    search writes a genotype JSON, train.py retrains it as a discrete
+    network with auxiliary head + scheduled drop-path + cosine LR."""
+    import importlib.util
+
+    from betty_tpu.models.darts import DARTS_V2, genotype_to_json
+
+    gfile = tmp_path / "genotype.json"
+    gfile.write_text(genotype_to_json(DARTS_V2))
+
+    path = EXAMPLES / "neural_architecture_search" / "train.py"
+    spec = importlib.util.spec_from_file_location("example_nas_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["example_nas_eval"] = mod
+    spec.loader.exec_module(mod)
+
+    args = mod.parse_args([
+        "--genotype-file", str(gfile),
+        "--epochs", "2", "--train_size", "64", "--batch_size", "16",
+        "--init_channels", "4", "--layers", "4", "--auxiliary",
+        "--drop_path_prob", "0.2",
+    ])
+    engine = mod.build_engine(args)
+    # drop-path prob is threaded through the batch and ramps with epoch
+    loader = engine.network.train_data_loader[0]
+    batch0 = next(iter(loader))
+    assert batch0[2] == np.float32(0.0)
+    loader.set_epoch(1)
+    batch1 = next(iter(loader))
+    assert batch1[2] == np.float32(0.1)
+    loader.set_epoch(0)
+
+    engine.run()
+    assert engine.network.count == 8  # 4 steps/epoch x 2 epochs
+    stats = engine.validation()
+    assert 0.0 <= stats["test_acc"] <= 100.0
