@@ -524,7 +524,24 @@ def _run_reference(ref_root):
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def setup_compile_cache():
+    """Persistent XLA compilation cache: the MWN block compiles in ~8 min
+    cold on v5e (double-backward convs x 32-period scan); warm runs load it
+    from disk in seconds. Returns whether the cache was already populated
+    (recorded in the JSON so wall-clock-including-compile numbers are
+    interpretable)."""
+    import jax
+
+    cache = Path(__file__).resolve().parent / ".xla_cache"
+    cache.mkdir(exist_ok=True)
+    warm = any(cache.iterdir())
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return warm
+
+
 def main():
+    cache_warm = setup_compile_cache()
     solvers = {}
     flops_per_step = None
     for solver in ("darts", "cg", "neumann"):
@@ -569,6 +586,7 @@ def main():
         "device_kind": kind,
         "precision": "fp32",
         "wallclock_to_acc": wallclock,
+        "compile_cache_warm_at_start": cache_warm,
         "fused_vector_ops": fused,
         "sama_transformer": sama_tfm,
         "note": "vs_baseline is TPU-vs-reference-on-host-CPU (reference "

@@ -245,8 +245,13 @@ class BlockRunner:
                 and isinstance(dl[0], ArrayLoader)
                 and dl[0].device
                 and dl[0].drop_last
-                # custom host-side batch logic can't ride in-device gathers
-                and type(dl[0]).postprocess is ArrayLoader.postprocess
+                # custom host-side batch logic can't ride in-device gathers;
+                # subclasses whose override is configured off (e.g. augment
+                # disabled) declare it via postprocess_is_identity
+                and getattr(
+                    dl[0], "postprocess_is_identity",
+                    type(dl[0]).postprocess is ArrayLoader.postprocess,
+                )
                 and type(p).get_batch is _ProblemBase.get_batch
                 and not type(p).__dict__.get("epoch_callback")
                 # multi-process: per-host dataset shards can't serve global

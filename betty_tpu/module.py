@@ -128,6 +128,43 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
                             rng_names=rng_names)
 
 
+def from_hf_flax(hf_model, pad_token_id: Optional[int] = None) -> FunctionalModule:
+    """Adapt a HuggingFace ``transformers`` Flax model (e.g.
+    ``FlaxRobertaForSequenceClassification`` — the reference trains HF
+    roberta-large, ``examples/bert_data_reweighting/model.py``).
+
+    ``apply(variables, input_ids)`` returns classification logits; an
+    attention mask is derived from the config's pad token unless passed
+    explicitly. Dropout consumes the per-step ``"dropout"`` rng that
+    ``Problem.forward`` threads through.
+    """
+    import jax.numpy as jnp
+
+    pad = pad_token_id
+    if pad is None:
+        pad = getattr(hf_model.config, "pad_token_id", None)
+
+    def apply_fn(vs, input_ids, *args, train=True, rngs=None, mutable=(), **kwargs):
+        mask = kwargs.pop("attention_mask", None)
+        if mask is None:
+            if pad is not None:
+                mask = (input_ids != pad).astype(jnp.int32)
+            else:
+                mask = jnp.ones_like(input_ids)
+        # the FlaxPreTrainedModel __call__ supplies position/token-type
+        # defaults per model family and routes params/dropout_rng explicitly
+        out = hf_model(
+            input_ids, attention_mask=mask, params=vs["params"],
+            dropout_rng=(rngs or {}).get("dropout"), train=train, **kwargs
+        )
+        logits = out.logits if hasattr(out, "logits") else out[0]
+        if mutable:
+            return logits, {}
+        return logits
+
+    return FunctionalModule(apply_fn, variables={"params": hf_model.params})
+
+
 def ensure_module(obj) -> FunctionalModule:
     """Coerce user input into a FunctionalModule.
 

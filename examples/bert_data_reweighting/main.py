@@ -37,7 +37,7 @@ from betty_tpu.models.transformer import (
     TransformerClassifier,
     roberta_large_config,
 )
-from betty_tpu.module import from_flax
+from betty_tpu.module import from_flax, from_hf_flax
 
 
 def make_synthetic_sst2(n, seq_len, vocab, seed=0, imbalance=10):
@@ -206,16 +206,26 @@ def build_engine(args):
             args.meta_size, args.seq_len, vocab, seed=1, imbalance=1
         )
 
-    if args.model == "large":
-        model = roberta_large_config(max_len=args.seq_len)
-    else:
-        model = TransformerClassifier(
-            vocab_size=vocab, max_len=args.seq_len, dim=args.dim,
-            depth=args.depth, heads=args.heads,
+    if args.hf_model:
+        # a local HuggingFace checkpoint directory (no download egress):
+        # the reference's actual model family (roberta-large fine-tune)
+        from transformers import FlaxAutoModelForSequenceClassification
+
+        hf = FlaxAutoModelForSequenceClassification.from_pretrained(
+            args.hf_model, local_files_only=True
         )
-    sample = jnp.zeros((args.batch_size, args.seq_len), jnp.int32)
-    classifier_mod = from_flax(model, sample, rng=jax.random.PRNGKey(0),
-                               train_kwarg="train")
+        classifier_mod = from_hf_flax(hf)
+    else:
+        if args.model == "large":
+            model = roberta_large_config(max_len=args.seq_len)
+        else:
+            model = TransformerClassifier(
+                vocab_size=vocab, max_len=args.seq_len, dim=args.dim,
+                depth=args.depth, heads=args.heads,
+            )
+        sample = jnp.zeros((args.batch_size, args.seq_len), jnp.int32)
+        classifier_mod = from_flax(model, sample, rng=jax.random.PRNGKey(0),
+                                   train_kwarg="train")
     mwn = from_flax(MetaWeightNet(), jnp.zeros((args.batch_size,)),
                     rng=jax.random.PRNGKey(1), train_kwarg="train")
 
@@ -259,6 +269,9 @@ def build_engine(args):
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="small", choices=["small", "large"])
+    p.add_argument("--hf_model", type=str, default=None,
+                   help="local HuggingFace Flax checkpoint dir (e.g. a saved "
+                        "roberta); overrides --model")
     p.add_argument("--hypergradient", default="sama",
                    choices=["sama", "darts", "cg", "neumann"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])

@@ -53,6 +53,9 @@ class BatchLoader(ArrayLoader):
         super().__init__(x, y, batch_size=batch_size, seed=seed,
                          drop_last=drop_last, device=device)
         self.augment = augment
+        # no augmentation => postprocess is a pass-through; keep the
+        # device-resident in-block gather fast path eligible
+        self.postprocess_is_identity = not augment
         self._aug_rng = np.random.RandomState(seed + 77)
 
     def postprocess(self, batch):

@@ -287,3 +287,55 @@ def test_fastpath_warmup_remainder_stream_continuity():
     l1 = np.asarray(e1.states["outer"]["params"]["w"])
     l2 = np.asarray(e2.states["outer"]["params"]["w"])
     assert np.max(np.abs(l1 - l2)) < 1e-6
+
+
+def test_fastpath_eligibility_with_declared_identity_postprocess():
+    """A loader subclass that overrides postprocess but declares it inert
+    (postprocess_is_identity=True, e.g. augmentation switched off) stays on
+    the in-block gather fast path; without the declaration it is excluded.
+    Regression guard for the benchmark workload's BatchLoader."""
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, optim
+    from betty_tpu.compile import BlockRunner
+    from betty_tpu.data import ArrayLoader
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data(n=256)
+
+    class MaybeAug(ArrayLoader):
+        def __init__(self, *arrays, augment=False, **kw):
+            super().__init__(*arrays, **kw)
+            self.augment = augment
+            self.postprocess_is_identity = not augment
+
+        def postprocess(self, batch):
+            if self.augment:
+                x, y = batch
+                return -np.asarray(x), y
+            return batch
+
+    def build(augment):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0),
+                      train_data_loader=MaybeAug(
+                          np.asarray(valid[0]), np.asarray(valid[1]),
+                          batch_size=64, seed=1, device=not augment,
+                          augment=augment),
+                      config=Config())
+        inner = Inner("inner", module=child_module(),
+                      optimizer=optim.sgd(lr=0.1),
+                      train_data_loader=MaybeAug(
+                          np.asarray(train[0]), np.asarray(train[1]),
+                          batch_size=64, seed=0, device=not augment,
+                          augment=augment),
+                      config=Config(unroll_steps=2))
+        eng = Engine(config=EngineConfig(train_iters=4),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        eng.train()
+        return BlockRunner(eng, scan_periods=2)
+
+    assert set(build(False).fastpath) == {"outer", "inner"}
+    assert not build(True).fastpath

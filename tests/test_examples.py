@@ -222,3 +222,47 @@ def test_nas_eval_phase(tmp_path):
     assert engine.network.count == 8  # 4 steps/epoch x 2 epochs
     stats = engine.validation()
     assert 0.0 <= stats["test_acc"] <= 100.0
+
+
+def test_bert_reweighting_with_hf_roberta(tmp_path):
+    """The reference fine-tunes an actual HuggingFace roberta
+    (examples/bert_data_reweighting/model.py); from_hf_flax adapts any
+    transformers Flax model into a betty_tpu module. A tiny random roberta
+    is saved locally and loaded through the example's --hf_model path."""
+    from transformers import FlaxRobertaForSequenceClassification, RobertaConfig
+
+    cfg = RobertaConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=40, num_labels=2, pad_token_id=0,
+    )
+    hf = FlaxRobertaForSequenceClassification(cfg, seed=0)
+    ckpt = tmp_path / "tiny-roberta"
+    hf.save_pretrained(str(ckpt))
+
+    mod = load("bert_data_reweighting")
+    args = mod.parse_args([
+        "--hf_model", str(ckpt),
+        "--train_iters", "4", "--batch_size", "4", "--seq_len", "16",
+        "--train_size", "32", "--meta_size", "16", "--unroll_steps", "2",
+        "--precision", "fp32", "--hypergradient", "sama",
+    ])
+    # synthetic token ids must stay inside the tiny vocab
+    orig = mod.make_synthetic_sst2
+
+    def small_vocab(n, seq_len, vocab, seed=0, imbalance=10):
+        return orig(n, seq_len, min(vocab, 100), seed=seed,
+                    imbalance=imbalance)
+
+    mod.make_synthetic_sst2 = small_vocab
+    try:
+        engine = mod.build_engine(args)
+        engine.run()
+    finally:
+        mod.make_synthetic_sst2 = orig
+    assert engine.classifier.count == 4
+    assert engine.reweight.count == 2
+    w = np.asarray(
+        engine.states["reweight"]["params"]["Dense_0"]["kernel"]
+    )
+    assert np.all(np.isfinite(w))
