@@ -140,9 +140,11 @@ class EngineConfig:
     # jax.profiler trace directory; None disables.
     profile_dir: Optional[str] = None
     # Persistent XLA compilation cache directory: compiled programs survive
-    # process restarts (elastic resume, iterative development), turning the
-    # 20-40s first-compile of large blocks into a disk read. None disables.
-    compile_cache_dir: Optional[str] = None
+    # process restarts (elastic resume, iterative development), turning
+    # multi-minute first-compiles of large blocks (the MWN darts block takes
+    # ~8 min cold on v5e) into a disk read. "auto" = ~/.cache/betty_tpu/xla;
+    # None disables.
+    compile_cache_dir: Optional[str] = "auto"
     # checkpointing
     checkpoint_dir: Optional[str] = None
     checkpoint_step: int = 0  # 0 disables periodic engine checkpoints

@@ -86,11 +86,18 @@ class Engine:
             # (auto_resume elasticity, repeated runs) become disk reads
             import os
 
-            os.makedirs(self.config.compile_cache_dir, exist_ok=True)
-            jax.config.update(
-                "jax_compilation_cache_dir", self.config.compile_cache_dir
-            )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            cache_dir = self.config.compile_cache_dir
+            if cache_dir == "auto":
+                cache_dir = os.path.expanduser("~/.cache/betty_tpu/xla")
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0
+                )
+            except OSError:
+                if self.config.compile_cache_dir != "auto":
+                    raise  # explicit dir must work; auto degrades silently
         strategy = self._strategy
         if strategy in ("distributed", "dp", "zero", "fsdp", "tp") or (
             self.config.mesh_shape is not None
