@@ -81,6 +81,15 @@ class Config:
     # Pallas kernels over the flattened parameter vector (betty_tpu/ops).
     use_fused_vector_ops: bool = False
 
+    # --- TPU-native extension: how CG/Neumann compute Hessian-vector
+    # products. "jvp" = forward-over-reverse (jvp of grad — cheaper on TPU:
+    # the tangent rides the existing forward+backward instead of
+    # differentiating the backward graph again); "vjp" =
+    # reverse-over-reverse, the literal counterpart of the reference's
+    # torch.autograd.grad(in_grad, params, grad_outputs=v). Identical math
+    # (the Hessian is symmetric); bitwise differences are at rounding level.
+    hvp_mode: str = "jvp"
+
     # --- TPU-native extension: rematerialize the forward pass during the
     # backward (jax.checkpoint) — trades FLOPs for activation memory, the
     # standard recipe for fitting large models in HBM.

@@ -13,6 +13,7 @@ Bilevel-only, like the reference (assert at ``cg.py:25``).
 import jax
 import jax.numpy as jnp
 
+from betty_tpu.hypergradient.hvp import make_hvp
 from betty_tpu.utils import neg, tree_axpy, tree_dot, tree_scale, tree_zeros_like
 
 
@@ -32,16 +33,16 @@ def cg(vector, curr, prev, ctx, states, curr_batch, rng):
     w0 = ctx[curr.name]["params"]
     prev0 = ctx[prev.name]["params"]
     g_fn = jax.grad(in_loss, argnums=0)
-    _, vjp_curr = jax.vjp(lambda cp: g_fn(cp, prev0), w0)
+    hvp_fn = make_hvp(lambda cp: g_fn(cp, prev0), w0, config.hvp_mode)
 
     if config.use_fused_vector_ops:
-        x = _cg_loop_fused(vector, vjp_curr, config)
+        x = _cg_loop_fused(vector, hvp_fn, config)
     else:
         x = tree_zeros_like(vector)
         r = vector
         p = vector
         for _ in range(config.cg_iterations):
-            (hvp,) = vjp_curr(p)
+            hvp = hvp_fn(p)
             numerator = tree_dot(r, r)
             denominator = alpha_s * tree_dot(hvp, p)
             ak = numerator / denominator
@@ -58,7 +59,7 @@ def cg(vector, curr, prev, ctx, states, curr_batch, rng):
     return neg(cross)
 
 
-def _cg_loop_fused(vector, vjp_curr, config):
+def _cg_loop_fused(vector, hvp_fn, config):
     """Same recurrence via fused Pallas vector kernels over the flattened
     parameter vector (betty_tpu/ops/vector.py). Bitwise-equal math; one
     memory pass for {x,r,<r',r'>} per iteration instead of several, and one
@@ -72,7 +73,7 @@ def _cg_loop_fused(vector, vjp_curr, config):
     p = flat_v
     rr = None
     for it in range(config.cg_iterations):
-        (hvp_tree,) = vjp_curr(tree_unravel(vector, p))
+        hvp_tree = hvp_fn(tree_unravel(vector, p))
         hvp, _ = tree_ravel(hvp_tree)
         if rr is None:
             rr, hp = fused_dot2(r, r, hvp, p)

@@ -7,14 +7,15 @@ Numerics match reference ``betty/hypergradient/neumann.py:8-66``:
     v2     = alpha * p
     out    = - (d g / d prev)^T v2                    (mixed second derivative)
 
-HVPs are reverse-over-reverse ``jax.vjp`` of the gradient function — the
-direct counterpart of ``torch.autograd.grad(in_grad, params, grad_outputs=v,
-retain_graph=True)``. Bilevel-only, like the reference (assert at
-``neumann.py:29``).
+HVPs default to forward-over-reverse (``Config.hvp_mode="jvp"`` — see
+betty_tpu/hypergradient/hvp.py; the reference's reverse-over-reverse
+construction is available as ``hvp_mode="vjp"``). Bilevel-only, like the
+reference (assert at ``neumann.py:29``).
 """
 
 import jax
 
+from betty_tpu.hypergradient.hvp import make_hvp
 from betty_tpu.utils import neg, tree_add, tree_axpy, tree_scale
 
 
@@ -37,8 +38,7 @@ def neumann(vector, curr, prev, ctx, states, curr_batch, rng):
     prev0 = ctx[prev.name]["params"]
     g_fn = jax.grad(in_loss, argnums=0)
 
-    # H v via VJP of the gradient function w.r.t. curr's params
-    _, vjp_curr = jax.vjp(lambda cp: g_fn(cp, prev0), w0)
+    hvp_fn = make_hvp(lambda cp: g_fn(cp, prev0), w0, config.hvp_mode)
 
     if config.use_fused_vector_ops:
         from betty_tpu.ops import neumann_fused_step, tree_ravel, tree_unravel
@@ -46,7 +46,7 @@ def neumann(vector, curr, prev, ctx, states, curr_batch, rng):
         v_flat, _ = tree_ravel(vector)
         p_flat = v_flat
         for _ in range(config.neumann_iterations):
-            (hv_tree,) = vjp_curr(tree_unravel(vector, v_flat))
+            hv_tree = hvp_fn(tree_unravel(vector, v_flat))
             hv_flat, _ = tree_ravel(hv_tree)
             v_flat, p_flat = neumann_fused_step(alpha, v_flat, hv_flat, p_flat)
         v2 = tree_unravel(vector, alpha * p_flat)
@@ -54,7 +54,7 @@ def neumann(vector, curr, prev, ctx, states, curr_batch, rng):
         v = vector
         p = vector
         for _ in range(config.neumann_iterations):
-            (hv,) = vjp_curr(v)
+            hv = hvp_fn(v)
             v = tree_axpy(-alpha, hv, v)
             p = tree_add(p, v)
         v2 = tree_scale(p, alpha)

@@ -218,24 +218,31 @@ def main():
     out = jax_darts(v_j, inner, outer, ctx, engine.states, batch, rng_key)
     ok &= check("darts", out["w"], t_darts(torch.as_tensor(np.asarray(v_j["w"]))))
 
-    # neumann
-    engine, outer, inner, ctx, batch = build_jax(
-        Config(type="neumann", neumann_iterations=4, neumann_alpha=0.7),
-        optim.sgd(lr=0.1),
-    )
-    v_j = j_direct_v(outer, inner, ctx)
-    out = jax_neumann(v_j, inner, outer, ctx, engine.states, batch, rng_key)
-    ok &= check(
-        "neumann", out["w"], t_neumann(torch.as_tensor(np.asarray(v_j["w"])))
-    )
+    # neumann / cg: both HVP constructions (forward-over-reverse default
+    # and the reference's reverse-over-reverse) must match torch
+    for hvp_mode in ("jvp", "vjp"):
+        engine, outer, inner, ctx, batch = build_jax(
+            Config(type="neumann", neumann_iterations=4, neumann_alpha=0.7,
+                   hvp_mode=hvp_mode),
+            optim.sgd(lr=0.1),
+        )
+        v_j = j_direct_v(outer, inner, ctx)
+        out = jax_neumann(v_j, inner, outer, ctx, engine.states, batch,
+                          rng_key)
+        ok &= check(
+            f"neumann[{hvp_mode}]", out["w"],
+            t_neumann(torch.as_tensor(np.asarray(v_j["w"]))),
+        )
 
-    # cg
-    engine, outer, inner, ctx, batch = build_jax(
-        Config(type="cg", cg_iterations=3, cg_alpha=0.35), optim.sgd(lr=0.1)
-    )
-    v_j = j_direct_v(outer, inner, ctx)
-    out = jax_cg(v_j, inner, outer, ctx, engine.states, batch, rng_key)
-    ok &= check("cg", out["w"], t_cg(torch.as_tensor(np.asarray(v_j["w"]))))
+        engine, outer, inner, ctx, batch = build_jax(
+            Config(type="cg", cg_iterations=3, cg_alpha=0.35,
+                   hvp_mode=hvp_mode),
+            optim.sgd(lr=0.1),
+        )
+        v_j = j_direct_v(outer, inner, ctx)
+        out = jax_cg(v_j, inner, outer, ctx, engine.states, batch, rng_key)
+        ok &= check(f"cg[{hvp_mode}]", out["w"],
+                    t_cg(torch.as_tensor(np.asarray(v_j["w"]))))
 
     # sama (inject known adam moments + last_grad into state)
     engine, outer, inner, ctx, batch = build_jax(
