@@ -16,6 +16,17 @@ __version__ = "0.1.0"
 # ADDRESS); a no-op otherwise. Engine.configure_systems calls it again
 # idempotently. Counterpart of torchrun's process-group bootstrap
 # (reference betty/engine.py:166-179).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # Some TPU runtime plugins override the JAX_PLATFORMS env var during
+    # discovery; an explicit CPU request must win (documented behavior for
+    # all examples/tutorials: "CPU-testable, TPU-identical"). The config
+    # API takes precedence over plugin discovery.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from betty_tpu.parallel.mesh import maybe_init_distributed as _init_dist
 
 _init_dist()

@@ -88,16 +88,25 @@ class Engine:
 
             cache_dir = self.config.compile_cache_dir
             if cache_dir == "auto":
-                cache_dir = os.path.expanduser("~/.cache/betty_tpu/xla")
-            try:
-                os.makedirs(cache_dir, exist_ok=True)
-                jax.config.update("jax_compilation_cache_dir", cache_dir)
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 1.0
-                )
-            except OSError:
-                if self.config.compile_cache_dir != "auto":
-                    raise  # explicit dir must work; auto degrades silently
+                # XLA:CPU AOT cache entries are machine-feature-sensitive
+                # (cross-process reuse can load executables compiled for a
+                # different feature set and hang/SIGILL — observed on this
+                # host); auto-caching engages only for accelerator backends,
+                # where reuse is keyed safely. Explicit dirs always apply.
+                if jax.default_backend() == "cpu":
+                    cache_dir = None
+                else:
+                    cache_dir = os.path.expanduser("~/.cache/betty_tpu/xla")
+            if cache_dir is not None:
+                try:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    jax.config.update("jax_compilation_cache_dir", cache_dir)
+                    jax.config.update(
+                        "jax_persistent_cache_min_compile_time_secs", 1.0
+                    )
+                except OSError:
+                    if self.config.compile_cache_dir != "auto":
+                        raise  # explicit dir must work; auto degrades silently
         strategy = self._strategy
         if strategy in ("distributed", "dp", "zero", "fsdp", "tp") or (
             self.config.mesh_shape is not None

@@ -140,3 +140,21 @@ def test_tutorial_model_parallelism_runs():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert "parameter leaves model-sharded" in out.stdout
+
+
+def test_tutorial_custom_solver_runs():
+    """Tutorial 8: a user-registered solver (exact T1-T2 cross-Hessian jvp)
+    drives a bilevel program through Config(type=<custom>)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, str(root / "tutorial" / "8_custom_solver.py")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "custom t1t2 solver trained" in out.stdout
