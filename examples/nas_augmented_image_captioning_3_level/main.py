@@ -82,6 +82,24 @@ class Inner1(ImplicitProblem):
         return real_loss + 0.5 * pseudo_loss
 
 
+class IUCEngine(Engine):
+    """Held-out captioner accuracy per validation (the reference evaluates
+    BLEU/CIDEr per epoch, eval_cider.py; the capability port's proxy task
+    scores sequence-classification accuracy)."""
+
+    test_data = None
+
+    def validation(self):
+        if self.test_data is None:
+            return {}
+        import numpy as _np
+
+        x, y = self.test_data
+        logits = self.inner1(jnp.asarray(x))
+        acc = float((_np.asarray(logits).argmax(1) == y).mean()) * 100
+        return {"caption_acc": acc}
+
+
 def build_engine(args):
     if getattr(args, "data_dir", None):
         # token npz: x (N, seq) int ids + y labels, split into thirds for
@@ -139,14 +157,17 @@ def build_engine(args):
         train_data_loader=loader(x_tr, y_tr),
         config=Config(type="darts", unroll_steps=args.unroll1),
     )
-    return Engine(
-        config=EngineConfig(train_iters=args.train_iters),
+    engine = IUCEngine(
+        config=EngineConfig(train_iters=args.train_iters,
+                            valid_step=getattr(args, "valid_step", 10 ** 9)),
         problems=[outer, inner2, inner1],
         dependencies={
             "u2l": {outer: [inner2, inner1]},
             "l2u": {inner1: [inner2, outer], inner2: [outer]},
         },
     )
+    engine.test_data = (x_v2[: 4 * args.batch], y_v2[: 4 * args.batch])
+    return engine
 
 
 if __name__ == "__main__":

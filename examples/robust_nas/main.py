@@ -82,15 +82,39 @@ class Classifier(ImplicitProblem):
         return {"loss": total, "ce": loss}
 
 
+class RobustSearchEngine(Engine):
+    """Genotype extraction + test accuracy at each validation (reference
+    dsrna_search.py logs val acc and saves genotypes per epoch)."""
+
+    test_data = None
+
+    def validation(self):
+        genotype = derive_genotype(self.arch.params)
+        self.logger.info(f"genotype = {genotype}")
+        out = {}
+        if self.test_data is not None:
+            sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+            from vision_data import problem_accuracy
+
+            x, y = self.test_data
+            alphas = self.arch.params
+            out["test_acc"] = problem_accuracy(
+                lambda xb: self.classifier.module(xb, alphas), x, y
+            )
+        return out
+
+
 def build_engine(args):
+    test_data = None
     if getattr(args, "data_dir", None):
         sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
         from vision_data import load_classification
 
-        x_all, y_all, _, _ = load_classification(args.data_dir)
+        x_all, y_all, x_test, y_test = load_classification(args.data_dir)
         half = len(y_all) // 2
         x_train, y_train = x_all[:half], y_all[:half]
         x_val, y_val = x_all[half:], y_all[half:]
+        test_data = (x_test, y_test)
     else:
         x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
         x_val, y_val = make_synthetic_cifar(args.train_size, seed=1)
@@ -136,12 +160,15 @@ def build_engine(args):
                       log_step=args.log_step),
         extra_config={"lambda_j": args.lambda_j, "lambda_c": args.lambda_c},
     )
-    return Engine(
-        config=EngineConfig(train_iters=args.train_iters),
+    engine = RobustSearchEngine(
+        config=EngineConfig(train_iters=args.train_iters,
+                            valid_step=getattr(args, "valid_step", 10 ** 9)),
         problems=[arch, classifier],
         dependencies={"u2l": {arch: [classifier]},
                       "l2u": {classifier: [arch]}},
     )
+    engine.test_data = test_data
+    return engine
 
 
 if __name__ == "__main__":

@@ -89,6 +89,24 @@ class Inner1(ImplicitProblem):
         return ce(logits, y).mean()
 
 
+class SanasEngine(Engine):
+    """Clean + adversarially-masked accuracy on a held-out split (reference
+    train_search_sanas.py validates the searched model per epoch)."""
+
+    test_data = None
+
+    def validation(self):
+        if self.test_data is None:
+            return {}
+        import numpy as _np
+
+        x, y = self.test_data
+        mask = jax.nn.sigmoid(self.outer())
+        logits = self.inner1(jnp.asarray(x) * mask)
+        acc = float((_np.asarray(logits).argmax(1) == y).mean()) * 100
+        return {"masked_acc": acc}
+
+
 def build_engine(args):
     if getattr(args, "data_dir", None):
         # feature npz: x_train/y_train split into thirds for the 3 levels
@@ -135,14 +153,17 @@ def build_engine(args):
         train_data_loader=loader(x_tr, y_tr),
         config=Config(type="darts", unroll_steps=args.unroll1),
     )
-    return Engine(
-        config=EngineConfig(train_iters=args.train_iters),
+    engine = SanasEngine(
+        config=EngineConfig(train_iters=args.train_iters,
+                            valid_step=getattr(args, "valid_step", 10 ** 9)),
         problems=[outer, inner2, inner1],
         dependencies={
             "u2l": {outer: [inner2, inner1]},
             "l2u": {inner1: [inner2, outer], inner2: [outer]},
         },
     )
+    engine.test_data = (x_v2, y_v2)
+    return engine
 
 
 if __name__ == "__main__":

@@ -47,6 +47,8 @@ def test_sanas_four_level():
     assert engine.outer.count == 2
     # outer has 3 hypergradient paths (via inner2, via inner1->inner2, direct inner1)
     assert len(engine.outer.paths) == 3
+    stats = engine.validation()
+    assert 0.0 <= stats["masked_acc"] <= 100.0
 
 
 def test_imagenet_pruning_ema():
@@ -121,6 +123,9 @@ def test_iuc_three_level():
     assert engine.inner2.count == 4
     assert engine.outer.count == 2
     assert len(engine.outer.paths) == 3
+    engine.eval()  # dropout off, as Engine.do_validation does
+    stats = engine.validation()
+    assert 0.0 <= stats["caption_acc"] <= 100.0
 
 
 def test_tutorial_model_parallelism_runs():
