@@ -17,9 +17,10 @@ removes that ceiling with three composable dials, all one-liners:
    MXU while hypergradients stay fp32 (``solver_precision`` policy;
    bit-identical meta-gradients, ~15% end-to-end on the MWN workload).
 
-Measured on one TPU v5e chip (bench.py): ~260 fp32 / ~300 bf16 meta-steps/s
-end-to-end on Meta-Weight-Net (ResNet-32 + reweighter MLP, darts) — within
-~8% of a hand-written single-purpose JAX implementation of the same step.
+Measured on one TPU v5e chip (bench.py): ~273 meta-steps/s end-to-end on
+Meta-Weight-Net (ResNet-32 + reweighter MLP, darts; fp32 and bf16 within
+noise of each other at this model size) — within ~4% of a hand-written
+single-purpose JAX implementation of the same step.
 
 Also shown: ``EngineConfig(remat=...)`` via ``Config(remat=True)`` trades
 FLOPs for activation memory, and ``donate_state=True`` halves transient HBM
