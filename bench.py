@@ -527,13 +527,15 @@ def _run_reference(ref_root):
 def setup_compile_cache():
     """Persistent XLA compilation cache: the MWN block compiles in ~8 min
     cold on v5e (double-backward convs x 32-period scan); warm runs load it
-    from disk in seconds. Returns whether the cache was already populated
-    (recorded in the JSON so wall-clock-including-compile numbers are
-    interpretable)."""
+    from disk in seconds. Uses the SAME directory as EngineConfig's "auto"
+    default (~/.cache/betty_tpu/xla) — engines built by the bench would
+    otherwise redirect the cache there mid-run. Returns whether the cache
+    was already populated (recorded in the JSON so wall-clock-including-
+    compile numbers are interpretable)."""
     import jax
 
-    cache = Path(__file__).resolve().parent / ".xla_cache"
-    cache.mkdir(exist_ok=True)
+    cache = Path(os.path.expanduser("~/.cache/betty_tpu/xla"))
+    cache.mkdir(parents=True, exist_ok=True)
     warm = any(cache.iterdir())
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

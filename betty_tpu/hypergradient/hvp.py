@@ -19,10 +19,11 @@ def make_hvp(g_fn, w0, mode: str = "jvp"):
     ``w0``. ``mode``: "jvp" (forward-over-reverse, default) or "vjp"
     (reverse-over-reverse, the reference's literal construction)."""
     if mode == "jvp":
-        def hvp(p):
-            return jax.jvp(g_fn, (w0,), (p,))[1]
-
-        return hvp
+        # linearize once: the primal forward+backward of g_fn is traced a
+        # single time and each hvp call only evaluates the tangent program
+        # (cg/neumann call this iterations-many times in an unrolled loop)
+        _, jvp_fn = jax.linearize(g_fn, w0)
+        return jvp_fn
     if mode == "vjp":
         _, vjp_fn = jax.vjp(g_fn, w0)
 

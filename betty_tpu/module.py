@@ -94,7 +94,7 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
     apply_kwargs = dict(apply_kwargs or {})
 
     if variables is None:
-        import zlib
+        from betty_tpu.utils import fold_rng_name
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -102,9 +102,7 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
         for name in rng_names:
             # stable fold (hash() is salted per interpreter, which would make
             # initialization diverge across processes/hosts)
-            init_rngs[name] = jax.random.fold_in(
-                rng, zlib.crc32(name.encode()) & 0x7FFFFFFF
-            )
+            init_rngs[name] = fold_rng_name(rng, name)
         kw = dict(sample_kwargs)
         if train_kwarg is not None:
             # init_train=True for modules whose parameter set only

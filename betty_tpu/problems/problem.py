@@ -434,13 +434,11 @@ class Problem(abc.ABC):
             # one per-step key per rng collection the module consumes; the
             # first name keeps the step key itself (bit-compatible with the
             # historical dropout-only behavior), later names get stable folds
-            import zlib
+            from betty_tpu.utils import fold_rng_name
 
             names = getattr(self.module_fn, "rng_names", ("dropout",))
             rngs = {
-                name: _TRACE_RNG if i == 0 else jax.random.fold_in(
-                    _TRACE_RNG, zlib.crc32(name.encode()) & 0x7FFFFFFF
-                )
+                name: _TRACE_RNG if i == 0 else fold_rng_name(_TRACE_RNG, name)
                 for i, name in enumerate(names)
             }
         mutable = self.module_fn.mutable_collections if self._training else ()

@@ -103,6 +103,17 @@ def clip_by_global_norm(tree, max_norm):
     return jax.tree_util.tree_map(lambda x: x * scale.astype(x.dtype), tree)
 
 
+def fold_rng_name(key, name: str):
+    """Stable per-collection rng fold (crc32, not salted hash()) — shared by
+    module init (from_flax) and per-step forward so init-time and step-time
+    streams use the same naming scheme."""
+    import zlib
+
+    import jax
+
+    return jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+
+
 def get_dtype(precision: str):
     if precision in ("fp16", "bf16"):
         # TPU-native half precision is bfloat16; fp16 maps to bf16 (no loss

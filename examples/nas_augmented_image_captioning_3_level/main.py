@@ -92,11 +92,11 @@ class IUCEngine(Engine):
     def validation(self):
         if self.test_data is None:
             return {}
-        import numpy as _np
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from vision_data import problem_accuracy
 
         x, y = self.test_data
-        logits = self.inner1(jnp.asarray(x))
-        acc = float((_np.asarray(logits).argmax(1) == y).mean()) * 100
+        acc = problem_accuracy(lambda xb: self.inner1(xb), x, y, batch=64)
         return {"caption_acc": acc}
 
 
@@ -184,6 +184,7 @@ if __name__ == "__main__":
     p.add_argument("--unroll2", type=int, default=2)
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--log_step", type=int, default=-1)
+    p.add_argument("--valid_step", type=int, default=50)
     p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
                    help="token npz (x: (N,seq) ids, y: labels); synthetic if unset")
     args = p.parse_args()

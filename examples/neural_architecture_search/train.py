@@ -61,6 +61,9 @@ class EvalLoader(BatchLoader):
     def __init__(self, x, y, batch_size, *, drop_path_prob, epochs,
                  cutout_length=0, **kw):
         super().__init__(x, y, batch_size, **kw)
+        # postprocess always transforms (appends the drop-path scalar), so
+        # never eligible for the identity-postprocess fast path
+        self.postprocess_is_identity = False
         self.drop_path_prob = drop_path_prob
         self.epochs = max(epochs, 1)
         self.cutout_length = cutout_length

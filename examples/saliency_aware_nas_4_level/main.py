@@ -98,12 +98,12 @@ class SanasEngine(Engine):
     def validation(self):
         if self.test_data is None:
             return {}
-        import numpy as _np
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from vision_data import problem_accuracy
 
         x, y = self.test_data
         mask = jax.nn.sigmoid(self.outer())
-        logits = self.inner1(jnp.asarray(x) * mask)
-        acc = float((_np.asarray(logits).argmax(1) == y).mean()) * 100
+        acc = problem_accuracy(lambda xb: self.inner1(xb * mask), x, y)
         return {"masked_acc": acc}
 
 
@@ -181,6 +181,7 @@ if __name__ == "__main__":
     p.add_argument("--unroll2", type=int, default=2)
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--log_step", type=int, default=-1)
+    p.add_argument("--valid_step", type=int, default=50)
     p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
                    help="classification npz (x_train/y_train); synthetic if unset")
     args = p.parse_args()

@@ -308,6 +308,9 @@ def test_fastpath_eligibility_with_declared_identity_postprocess():
             super().__init__(*arrays, **kw)
             self.augment = augment
             self.postprocess_is_identity = not augment
+            # augmented batches stay host-side in real loaders; here the
+            # negative case keeps device=True so the eligibility check is
+            # rejected by the identity flag itself, not by dl.device
 
         def postprocess(self, batch):
             if self.augment:
@@ -320,14 +323,14 @@ def test_fastpath_eligibility_with_declared_identity_postprocess():
                       optimizer=optim.sgd(lr=1.0),
                       train_data_loader=MaybeAug(
                           np.asarray(valid[0]), np.asarray(valid[1]),
-                          batch_size=64, seed=1, device=not augment,
+                          batch_size=64, seed=1, device=True,
                           augment=augment),
                       config=Config())
         inner = Inner("inner", module=child_module(),
                       optimizer=optim.sgd(lr=0.1),
                       train_data_loader=MaybeAug(
                           np.asarray(train[0]), np.asarray(train[1]),
-                          batch_size=64, seed=0, device=not augment,
+                          batch_size=64, seed=0, device=True,
                           augment=augment),
                       config=Config(unroll_steps=2))
         eng = Engine(config=EngineConfig(train_iters=4),

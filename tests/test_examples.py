@@ -229,7 +229,9 @@ def test_bert_reweighting_with_hf_roberta(tmp_path):
     (examples/bert_data_reweighting/model.py); from_hf_flax adapts any
     transformers Flax model into a betty_tpu module. A tiny random roberta
     is saved locally and loaded through the example's --hf_model path."""
-    from transformers import FlaxRobertaForSequenceClassification, RobertaConfig
+    transformers = pytest.importorskip("transformers")
+    FlaxRobertaForSequenceClassification = transformers.FlaxRobertaForSequenceClassification
+    RobertaConfig = transformers.RobertaConfig
 
     cfg = RobertaConfig(
         vocab_size=100, hidden_size=32, num_hidden_layers=2,
