@@ -151,8 +151,10 @@ class EngineConfig:
     # Persistent XLA compilation cache directory: compiled programs survive
     # process restarts (elastic resume, iterative development), turning
     # multi-minute first-compiles of large blocks (the MWN darts block takes
-    # ~8 min cold on v5e) into a disk read. "auto" = ~/.cache/betty_tpu/xla;
-    # None disables.
+    # ~8 min cold on v5e) into a disk read. "auto" = ~/.cache/betty_tpu/xla
+    # on accelerator backends (skipped on CPU, where AOT cache entries are
+    # machine-feature-sensitive); None disables; an explicit dir always
+    # applies.
     compile_cache_dir: Optional[str] = "auto"
     # checkpointing
     checkpoint_dir: Optional[str] = None
