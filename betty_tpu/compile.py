@@ -253,7 +253,9 @@ class BlockRunner:
                     type(dl[0]).postprocess is ArrayLoader.postprocess,
                 )
                 and type(p).get_batch is _ProblemBase.get_batch
-                and not type(p).__dict__.get("epoch_callback")
+                # MRO-aware: an epoch_callback on ANY base class disables
+                # the fast path (take_indices rolls epochs without hooks)
+                and not p.is_implemented("epoch_callback")
                 # multi-process: per-host dataset shards can't serve global
                 # in-block gathers; those problems use the host-staging path
                 and jax.process_count() == 1
@@ -288,9 +290,6 @@ class BlockRunner:
                 n: tuple(jax.device_put(a, rep) for a in ld.arrays)
                 for n, ld in self.fastpath.items()
             }
-        # fastpath cursors are aligned with the live driver iterators on the
-        # first block (warmup iterations may already have consumed batches)
-        self._fp_synced = False
 
         donate = ()
         if engine.config.donate_state and not any(
@@ -410,13 +409,15 @@ class BlockRunner:
 
         engine = self.engine
         K = self.scan_periods
-        if self.fastpath and not self._fp_synced:
-            # driver -> fastpath: start exactly where warmup iteration left
-            # the epoch stream (no re-served batches)
+        if self.fastpath:
+            # driver -> fastpath: start exactly where the live epoch stream
+            # is (no re-served batches). Runs before EVERY block, not once:
+            # driver-side consumption between blocks (warmup, a validation
+            # that pulls training batches) moves the counters, and the
+            # cursor must follow. Idempotent when nothing moved.
             for name, ld in self.fastpath.items():
                 p = self.problems[name]
                 ld.sync_cursor(p.epoch_counter[0], p.batches_served[0])
-            self._fp_synced = True
         per_period = [self.collect_batches() for _ in range(K)]
         if K == 1:
             seg_batches = per_period[0]
@@ -637,10 +638,12 @@ class BlockRunner:
         }
         with _CtxBinding(ctx, None, None):
             p.on_inner_loop_start()
-            new_params = problem_mod._TRACE_CTX[p.name]["params"]
-            new_extra = problem_mod._TRACE_CTX[p.name]["extra"]
+            # copy back every problem's entry: hooks may set_params on
+            # OTHER problems too (cross-problem warm start), and driver
+            # mode applies those — block mode must match
+            final_ctx = problem_mod._TRACE_CTX
         return {
-            **states,
-            p.name: {**states[p.name], "params": new_params,
-                     "extra": new_extra},
+            name: {**states[name], "params": final_ctx[name]["params"],
+                   "extra": final_ctx[name]["extra"]}
+            for name in states
         }

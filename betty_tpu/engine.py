@@ -329,7 +329,13 @@ class Engine:
         # a block may never span more than one validation (or checkpoint)
         # boundary, or boundaries inside it would be silently skipped and
         # early stopping would see fewer evaluations than driver mode
-        cadence = self.valid_step if self.do_validation() else self.train_iters
+        # rank-uniform: every process must derive the same K (the compiled
+        # block is one SPMD program across hosts); do_validation() is
+        # rank-0-gated, so gate on the override's existence alone here
+        cadence = (
+            self.valid_step if self.is_implemented("validation")
+            else self.train_iters
+        )
         if self.config.checkpoint_step > 0 and self.config.checkpoint_dir:
             cadence = min(cadence, self.config.checkpoint_step)
         K = self.config.block_periods

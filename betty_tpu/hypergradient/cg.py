@@ -76,9 +76,9 @@ def _cg_loop_fused(vector, hvp_fn, config):
         hvp_tree = hvp_fn(tree_unravel(vector, p))
         hvp, _ = tree_ravel(hvp_tree)
         if rr is None:
-            rr, hp = fused_dot2(r, r, hvp, p)
+            rr, hp = fused_dot2(r, r, hvp, p)  # one pass for both dots
         else:
-            _, hp = fused_dot2(hvp, p, hvp, p)
+            hp = jnp.dot(hvp, p)  # rr carried from the previous iteration
         ak = rr / (alpha_s * hp)
         x, r_new, rr_new = cg_fused_step(ak, x, p, r, hvp)
         beta = rr_new / rr

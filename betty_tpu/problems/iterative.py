@@ -49,6 +49,18 @@ class IterativeProblem(Problem):
             self._pending_unroll_reset = True
         super().step_normal(global_step=global_step)
 
+    def step_after_roll_back(self):
+        # the roll-back re-step (base problem.py step_after_roll_back) is an
+        # extra descent OUTSIDE the counted unroll: the next window's replay
+        # starts from the post-re-step state (recorded by the next
+        # inner-loop-start reset), so its batch must not be appended to the
+        # already-consumed window's recording
+        self._in_rollback_restep = True
+        try:
+            super().step_after_roll_back()
+        finally:
+            self._in_rollback_restep = False
+
     def one_step_descent(self, batch=None, advance_sched=None):
         if getattr(self, "_pending_unroll_reset", False):
             self._unroll_start_state = self.state
@@ -57,7 +69,8 @@ class IterativeProblem(Problem):
         loss_dict = super().one_step_descent(
             batch=batch, advance_sched=advance_sched
         )
-        self._unroll_batches.append(self.cur_batch)
+        if not getattr(self, "_in_rollback_restep", False):
+            self._unroll_batches.append(self.cur_batch)
         return loss_dict
 
     # -- differentiable replay ----------------------------------------------

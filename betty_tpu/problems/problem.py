@@ -364,9 +364,6 @@ class Problem(abc.ABC):
                 "get_batch override"
             )
 
-        # a problem needs last_grad iff it acts as a SAMA edge in any path
-        if self._config.type == "sama":
-            self._needs_last_grad = True
 
     def init_state(self, rng=None) -> Dict[str, Any]:
         """Build the initial state pytree for this problem."""
@@ -428,6 +425,7 @@ class Problem(abc.ABC):
         if self.precision in ("fp16", "bf16") and not _FORCE_FP32:
             variables = tree_cast(variables, self.dtype)
             args = tuple(tree_cast(a, self.dtype) for a in args)
+            kwargs = {k: tree_cast(v, self.dtype) for k, v in kwargs.items()}
 
         rngs = None
         if _TRACE_RNG is not None and self._training:
@@ -859,11 +857,10 @@ class Problem(abc.ABC):
                     arr = jax.device_put(arr, self.device_sharding)
                 return arr
 
-        if isinstance(batch, dict):
-            return {k: put(v) for k, v in batch.items()}
-        if isinstance(batch, (tuple, list)):
-            return tuple(put(v) for v in batch)
-        return put(batch)
+        converted = jax.tree_util.tree_map(put, batch)  # any nesting
+        if isinstance(converted, list):
+            return tuple(converted)
+        return converted
 
     def epoch_callback_exec(self):
         if self.is_implemented("epoch_callback"):

@@ -342,3 +342,50 @@ def test_fastpath_eligibility_with_declared_identity_postprocess():
 
     assert set(build(False).fastpath) == {"outer", "inner"}
     assert not build(True).fastpath
+
+
+def test_cross_problem_hook_mutation_block_equals_driver():
+    """on_inner_loop_start may set_params on a DIFFERENT problem (cross-
+    problem warm start, e.g. learning_by_ignoring-style coupling); compiled
+    blocks must apply those writes like driver mode does."""
+    import jax.numpy as jnp
+
+    from betty_tpu import Engine, optim
+    from fixtures import Inner, Outer, child_module, make_data, parent_module
+
+    train, valid = make_data(n=256)
+
+    class DecayingInner(Inner):
+        def on_inner_loop_start(self):
+            import jax as _jax
+
+            # mutate the OUTER problem's params at each inner-loop start
+            self.outer.set_params(
+                _jax.tree_util.tree_map(lambda w: w * 0.9, self.outer.params)
+            )
+
+    def build(compile_blocks):
+        outer = Outer("outer", module=parent_module(),
+                      optimizer=optim.sgd(lr=1.0),
+                      train_data_loader=[(valid[0][:64], valid[1][:64])],
+                      config=Config())
+        inner = DecayingInner("inner", module=child_module(),
+                              optimizer=optim.sgd(lr=0.1),
+                              train_data_loader=[(train[0][:64], train[1][:64])],
+                              config=Config(unroll_steps=2))
+        eng = Engine(config=EngineConfig(train_iters=8,
+                                         compile_blocks=compile_blocks),
+                     problems=[outer, inner],
+                     dependencies={"u2l": {outer: [inner]},
+                                   "l2u": {inner: [outer]}})
+        eng.run()
+        import jax as _jax
+
+        return (np.asarray(_jax.tree_util.tree_leaves(
+                    eng.states["outer"]["params"])[0]),
+                np.asarray(eng.states["inner"]["params"]["w"]))
+
+    o_drv, i_drv = build(False)
+    o_blk, i_blk = build(True)
+    assert np.max(np.abs(o_drv - o_blk)) < 1e-5, (o_drv, o_blk)
+    assert np.max(np.abs(i_drv - i_blk)) < 1e-5

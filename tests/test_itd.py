@@ -177,3 +177,35 @@ def test_first_order_false_above_implicit_child_warns():
                                   "log": lambda self, *a, **k: None})()
     child.initialize(engine)
     assert any("first_order=False" in w for w in warnings), warnings
+
+
+def test_itd_rollback_restep_not_recorded():
+    """Roll-back's re-step (an extra descent outside the counted unroll)
+    must not contaminate the ITD recording: with gas=2 the replay reshape
+    crashes on a stray extra batch, and with gas=1 the hypergradient is
+    silently wrong. Two unroll windows exercise the window handoff."""
+    meta = Meta(
+        "meta",
+        module=from_fn(lambda p: p["w"], {"w": jnp.asarray(THETA0)}),
+        optimizer=optim.sgd(lr=META_LR),
+        train_data_loader=[jnp.asarray(T_OUTER)],
+        config=Config(first_order=False),
+    )
+    adapt = Adapt(
+        "adapt",
+        module=from_fn(lambda p: p["w"], {"w": jnp.zeros(D)}),
+        optimizer=optim.sgd(lr=INNER_LR),
+        train_data_loader=[jnp.asarray(T_INNER)],
+        config=Config(unroll_steps=INNER_STEPS, gradient_accumulation=2),
+    )
+    engine = Engine(
+        config=EngineConfig(train_iters=4 * INNER_STEPS, roll_back=True),
+        problems=[meta, adapt],
+        dependencies={"u2l": {meta: [adapt]}, "l2u": {adapt: [meta]}},
+    )
+    engine.run()  # crashes on reshape without the fix
+    assert meta.count == 2
+    # each recorded window holds exactly unroll_steps * gas batches
+    assert len(adapt._unroll_batches) <= INNER_STEPS * 2
+    w = np.asarray(engine.states["meta"]["params"]["w"])
+    assert np.all(np.isfinite(w))
