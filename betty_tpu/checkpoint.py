@@ -81,12 +81,20 @@ def save_engine_state(engine, path: str):
     for p in engine.problems:
         start = getattr(p, "_unroll_start_state", None)
         batches = getattr(p, "_unroll_batches", None)
-        if start is not None and batches:
+        resumable = (
+            p.train_data_loader is not None
+            and all(hasattr(dl, "iter_from") for dl in p.train_data_loader)
+        )
+        if start is not None and batches and resumable:
+            # restore rebuilds the batch skeleton via iter_from; loaders
+            # without it restart their epoch on resume (documented), so
+            # recording their unroll would orphan checkpoint keys
             states[f"__unroll_start__{p.name}"] = _to_host(start)
+            host_batches = [_to_host(b) for b in batches]  # collective
             stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+                lambda *xs: np.stack(xs), *host_batches
             )
-            states[f"__unroll_batches__{p.name}"] = _to_host(stacked)
+            states[f"__unroll_batches__{p.name}"] = stacked
             meta_extra.setdefault("unroll_recorded", {})[p.name] = len(batches)
     # all processes participated in the collective gathers above; only one
     # writes (shared-filesystem assumption for multi-host, as with torch.save)
@@ -103,8 +111,12 @@ def save_engine_state(engine, path: str):
                 **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
             )
     if jax.process_index() == 0:
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        # atomic: a preemption mid-write must not brick auto_resume with a
+        # truncated meta.json (the restart would crash in json.load forever)
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
             json.dump({**_host_meta(engine), **meta_extra}, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
 
 
 def restore_engine_state(engine, path: str):
@@ -112,7 +124,19 @@ def restore_engine_state(engine, path: str):
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     step = meta["global_step"]
-    states = {name: _to_host(s) for name, s in engine.states.items()}
+
+    def skeleton(tree):
+        # structure + shape/dtype only; a concrete copy would allgather the
+        # full (possibly ZeRO/FSDP-sharded, multi-GB) state on every process
+        def leaf(x):
+            dtype = getattr(x, "dtype", None)
+            if dtype is None:
+                dtype = np.asarray(x).dtype  # python scalar leaves
+            return jax.ShapeDtypeStruct(np.shape(x), dtype)
+
+        return jax.tree_util.tree_map(leaf, tree)
+
+    states = {name: skeleton(s) for name, s in engine.states.items()}
     # skeleton entries for saved roll-back caches (same pytree structure as
     # the problem's state)
     for name in meta.get("rollback_cached", []):
@@ -134,7 +158,7 @@ def restore_engine_state(engine, path: str):
         states[f"__unroll_batches__{pname}"] = jax.tree_util.tree_map(
             lambda a: np.zeros((k,) + tuple(np.shape(a)),
                                dtype=np.asarray(a).dtype),
-            jax.device_get(probe),
+            _to_host(probe),
         )
 
     if _HAS_ORBAX:

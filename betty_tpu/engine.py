@@ -266,16 +266,17 @@ class Engine:
 
                 # cadence on the GLOBAL step so boundaries stay aligned
                 # across checkpoint resumes (== it when starting fresh)
-                if self.global_step % self.valid_step == 0 and self.do_validation():
+                if self.do_validation() and self.global_step % self.valid_step == 0:
                     self.eval()
                     validation_stats = self.validation() or {}
-                    log_loss = log_from_loss_dict(validation_stats)
-                    self.logger.info(
-                        f"[Validation] [Global Step {self.global_step}] {log_loss}"
-                    )
-                    self.logger.log(
-                        validation_stats, tag="validation", step=self.global_step
-                    )
+                    if self.is_rank_zero():
+                        log_loss = log_from_loss_dict(validation_stats)
+                        self.logger.info(
+                            f"[Validation] [Global Step {self.global_step}] {log_loss}"
+                        )
+                        self.logger.log(
+                            validation_stats, tag="validation", step=self.global_step
+                        )
                     self.train()
 
                     if self.early_stopping is not None:
@@ -329,12 +330,10 @@ class Engine:
         # a block may never span more than one validation (or checkpoint)
         # boundary, or boundaries inside it would be silently skipped and
         # early stopping would see fewer evaluations than driver mode
-        # rank-uniform: every process must derive the same K (the compiled
-        # block is one SPMD program across hosts); do_validation() is
-        # rank-0-gated, so gate on the override's existence alone here
+        # rank-uniform: every process derives the same K (the compiled
+        # block is one SPMD program across hosts)
         cadence = (
-            self.valid_step if self.is_implemented("validation")
-            else self.train_iters
+            self.valid_step if self.do_validation() else self.train_iters
         )
         if self.config.checkpoint_step > 0 and self.config.checkpoint_dir:
             cadence = min(cadence, self.config.checkpoint_step)
@@ -365,18 +364,19 @@ class Engine:
                 multiple of valid_step inside it triggers. Returns True when
                 early stopping fires."""
                 stop = False
-                if (self.global_step % self.valid_step) < window and \
-                        self.do_validation():
+                if self.do_validation() and \
+                        (self.global_step % self.valid_step) < window:
                     self.eval()
                     validation_stats = self.validation() or {}
-                    self.logger.info(
-                        f"[Validation] [Global Step {self.global_step}] "
-                        f"{log_from_loss_dict(validation_stats)}"
-                    )
-                    self.logger.log(
-                        validation_stats, tag="validation",
-                        step=self.global_step,
-                    )
+                    if self.is_rank_zero():
+                        self.logger.info(
+                            f"[Validation] [Global Step {self.global_step}] "
+                            f"{log_from_loss_dict(validation_stats)}"
+                        )
+                        self.logger.log(
+                            validation_stats, tag="validation",
+                            step=self.global_step,
+                        )
                     self.train()
                     if self.early_stopping is not None:
                         if self.early_stopping(validation_stats):
@@ -447,7 +447,14 @@ class Engine:
             problem.eval()
 
     def do_validation(self) -> bool:
-        return self.is_implemented("validation") and self.is_rank_zero()
+        # Runs on EVERY process: validation touches globally-sharded arrays,
+        # so its collectives must execute on all ranks (rank-gating it — the
+        # reference's behavior, engine.py:330-336 — deadlocks a multi-host
+        # mesh), and the early-stopping decision derives from the same
+        # deterministic global values on every rank, keeping control flow
+        # aligned. Logging stays rank-0. valid_step=0 disables (mirror of
+        # checkpoint_step=0).
+        return self.is_implemented("validation") and self.valid_step > 0
 
     def is_rank_zero(self) -> bool:
         return jax.process_index() == 0

@@ -60,7 +60,18 @@ class Optimizer:
         this automatically when needed), the learning rate for this step is
         ``schedule(sched_step)``."""
         if self.schedule is not None and sched_step is not None:
-            opt_state = set_injected_lr(opt_state, self.schedule(sched_step))
+            opt_state, found = set_injected_lr(
+                opt_state, self.schedule(sched_step), report=True
+            )
+            if not found:
+                raise ValueError(
+                    "An LR schedule is attached but the optimizer state has "
+                    "no inject_hyperparams learning rate to drive — the "
+                    "schedule would be silently ignored. Build the tx with "
+                    "optax.inject_hyperparams (the betty_tpu.optim factories "
+                    "do this automatically when schedule= is passed), or "
+                    "wrap the schedule into the transform itself."
+                )
         updates, new_state = self.tx.update(grads, opt_state, params)
         return updates, new_state
 
@@ -90,11 +101,16 @@ def find_adam_state(state):
     return None
 
 
-def set_injected_lr(opt_state, lr):
-    """Set the learning rate inside an ``optax.inject_hyperparams`` state."""
+def set_injected_lr(opt_state, lr, report: bool = False):
+    """Set the learning rate inside an ``optax.inject_hyperparams`` state.
+    With ``report=True`` also returns whether any injection point was found
+    (callers use it to fail loudly instead of silently ignoring a
+    schedule)."""
+    found = [False]
 
     def _set(state):
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            found[0] = True
             hp = dict(state.hyperparams)
             hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
             return state._replace(hyperparams=hp)
@@ -104,7 +120,10 @@ def set_injected_lr(opt_state, lr):
             return tuple(_set(s) for s in state)
         return state
 
-    return _set(opt_state)
+    new_state = _set(opt_state)
+    if report:
+        return new_state, found[0]
+    return new_state
 
 
 class GroupedOptimizer(Optimizer):
@@ -119,10 +138,7 @@ class GroupedOptimizer(Optimizer):
     def __init__(self, tx, base: Optimizer, group_schedules, labels=None,
                  group_meta=None):
         super().__init__(tx, kind=base.kind, lr=base.lr, betas=base.betas,
-                         eps=base.eps,
-                         schedule=base.schedule if any(
-                             s is not None for s in group_schedules.values()
-                         ) else None)
+                         eps=base.eps, schedule=base.schedule)
         self.group_schedules = group_schedules
         self.labels = labels          # per-leaf group label pytree
         self.group_meta = group_meta  # {label: {"lr","betas","eps","schedule"}}

@@ -109,8 +109,12 @@ def fsdp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
 
 _TP_RULES = (
     (re.compile(r"(query|key|value)/(kernel|bias)$"),
+     # column-parallel in both layouts: heads (3-D) or the fused h*hd
+     # OUTPUT dim (2-D) are sharded; sharding the 2-D contraction dim would
+     # force a reduction per projection and replicate the attention
+     # activations (the Megatron pattern would be lost)
      lambda ax, x: P(None, ax, None) if x.ndim == 3 else
-     (P(ax, None) if x.ndim == 2 else None)),
+     (P(None, ax) if x.ndim == 2 else None)),
     (re.compile(r"out/kernel$"),
      lambda ax, x: P(ax, None, None) if x.ndim == 3 else None),
     (re.compile(r"out/bias$"), lambda ax, x: P()),
@@ -201,8 +205,12 @@ def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
         for k in ("params", "extra", "grad_acc", "last_grad", "sched_step"):
             if k in out:
                 out[k] = jax.device_put(out[k], rep)
+        # ZeRO-1 partitions optimizer state over the DATA-parallel axis
+        # (the ranks holding the gradient shards), not the model axis a
+        # 2-D mesh would otherwise pick by default
         out["opt_state"] = place(
-            out["opt_state"], fsdp_shardings(out["opt_state"], mesh)
+            out["opt_state"], fsdp_shardings(out["opt_state"], mesh,
+                                             axis="dp")
         )
         return out
     if strategy in ("fsdp", "tp"):
