@@ -41,23 +41,29 @@ class ReLUConvBN(nn.Module):
     filters: int
     kernel: int = 1
     strides: int = 1
+    affine: bool = True  # search phase uses affine=False (reference
+    # model_search.py: BN scales must not absorb the architecture weights)
 
     @nn.compact
     def __call__(self, x, train=True):
         x = nn.relu(x)
         x = nn.Conv(self.filters, (self.kernel, self.kernel),
                     (self.strides, self.strides), use_bias=False)(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            use_scale=self.affine, use_bias=self.affine)(x)
 
 
 class SepConv(nn.Module):
     filters: int
     kernel: int
     strides: int = 1
+    affine: bool = True
 
     @nn.compact
     def __call__(self, x, train=True):
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, use_scale=self.affine,
+                       use_bias=self.affine)
         c_in = x.shape[-1]
         for rep, s in ((0, self.strides), (1, 1)):
             x = nn.relu(x)
@@ -74,6 +80,7 @@ class DilConv(nn.Module):
     kernel: int
     strides: int = 1
     dilation: int = 2
+    affine: bool = True
 
     @nn.compact
     def __call__(self, x, train=True):
@@ -84,11 +91,13 @@ class DilConv(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     feature_group_count=c_in, use_bias=False)(x)
         x = nn.Conv(self.filters, (1, 1), use_bias=False)(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            use_scale=self.affine, use_bias=self.affine)(x)
 
 
 class FactorizedReduce(nn.Module):
     filters: int
+    affine: bool = True
 
     @nn.compact
     def __call__(self, x, train=True):
@@ -99,7 +108,8 @@ class FactorizedReduce(nn.Module):
         b = jnp.pad(b, ((0, 0), (0, a.shape[1] - b.shape[1]),
                         (0, a.shape[2] - b.shape[2]), (0, 0)))
         x = jnp.concatenate([a, b], axis=-1)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            use_scale=self.affine, use_bias=self.affine)(x)
 
 
 def _pool(x, kind, strides):
@@ -113,35 +123,45 @@ def _pool(x, kind, strides):
 class MixedOp(nn.Module):
     filters: int
     strides: int
+    # reference model_search.py builds every candidate op with affine=False
+    affine: bool = False
 
     @nn.compact
     def __call__(self, x, weights, train=True):
+        af = self.affine
         outs = []
         for prim in PRIMITIVES:
             if prim == "none":
                 if self.strides == 1:
                     o = jnp.zeros_like(x)
                 else:
+                    # ceil division: the other stride-2 ops use SAME padding
                     o = jnp.zeros(
-                        (x.shape[0], x.shape[1] // self.strides,
-                         x.shape[2] // self.strides, self.filters),
+                        (x.shape[0], -(-x.shape[1] // self.strides),
+                         -(-x.shape[2] // self.strides), self.filters),
                         x.dtype,
                     )
             elif prim in ("max_pool_3x3", "avg_pool_3x3"):
                 o = _pool(x, prim.split("_")[0], self.strides)
                 o = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9)(o)
+                                 momentum=0.9, use_scale=af,
+                                 use_bias=af)(o)
             elif prim == "skip_connect":
                 o = (x if self.strides == 1
-                     else FactorizedReduce(self.filters)(x, train=train))
+                     else FactorizedReduce(self.filters,
+                                           affine=af)(x, train=train))
             elif prim == "sep_conv_3x3":
-                o = SepConv(self.filters, 3, self.strides)(x, train=train)
+                o = SepConv(self.filters, 3, self.strides,
+                            affine=af)(x, train=train)
             elif prim == "sep_conv_5x5":
-                o = SepConv(self.filters, 5, self.strides)(x, train=train)
+                o = SepConv(self.filters, 5, self.strides,
+                            affine=af)(x, train=train)
             elif prim == "dil_conv_3x3":
-                o = DilConv(self.filters, 3, self.strides)(x, train=train)
+                o = DilConv(self.filters, 3, self.strides,
+                            affine=af)(x, train=train)
             elif prim == "dil_conv_5x5":
-                o = DilConv(self.filters, 5, self.strides)(x, train=train)
+                o = DilConv(self.filters, 5, self.strides,
+                            affine=af)(x, train=train)
             outs.append(o)
         stacked = jnp.stack(outs, axis=0)  # (P, B, H, W, C)
         return jnp.einsum("p,pbhwc->bhwc", weights, stacked)
@@ -156,10 +176,10 @@ class Cell(nn.Module):
     def __call__(self, s0, s1, weights, train=True):
         # weights: (NUM_EDGES, P) softmaxed alphas for this cell type
         if self.reduction_prev:
-            s0 = FactorizedReduce(self.filters)(s0, train=train)
+            s0 = FactorizedReduce(self.filters, affine=False)(s0, train=train)
         else:
-            s0 = ReLUConvBN(self.filters)(s0, train=train)
-        s1 = ReLUConvBN(self.filters)(s1, train=train)
+            s0 = ReLUConvBN(self.filters, affine=False)(s0, train=train)
+        s1 = ReLUConvBN(self.filters, affine=False)(s1, train=train)
 
         states = [s0, s1]
         offset = 0

@@ -58,11 +58,16 @@ def moe_ffn(params, x, capacity_factor: float = 1.25,
     expert_idx = jnp.argmax(probs, axis=-1)            # [T]
     gate = jnp.take_along_axis(probs, expert_idx[:, None], axis=1)[:, 0]
 
-    onehot = jax.nn.one_hot(expert_idx, E, dtype=x.dtype)          # [T, E]
+    # routing bookkeeping in fp32/int32 always: a bf16 cumsum represents
+    # integers exactly only up to 256, so under Config(precision="bf16")
+    # experts with >256 routed tokens would get colliding buffer positions
+    # (silently blended outputs)
+    onehot32 = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)    # [T, E]
     # position of each token within its expert's buffer (0-based)
-    pos = jnp.cumsum(onehot, axis=0) * onehot - onehot             # [T, E]
-    keep = (pos < C).astype(x.dtype) * onehot
+    pos = jnp.cumsum(onehot32, axis=0) * onehot32 - onehot32       # [T, E]
+    keep = ((pos < C) & (onehot32 > 0)).astype(x.dtype)
     pos_clipped = jnp.minimum(pos, C - 1).astype(jnp.int32)
+    onehot = onehot32.astype(x.dtype)
     # dispatch tensor [T, E, C]
     dispatch = keep[:, :, None] * jax.nn.one_hot(
         pos_clipped, C, dtype=x.dtype

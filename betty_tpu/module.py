@@ -103,18 +103,20 @@ def from_flax(module, *sample_args, rng=None, variables=None, apply_kwargs=None,
             # stable fold (hash() is salted per interpreter, which would make
             # initialization diverge across processes/hosts)
             init_rngs[name] = fold_rng_name(rng, name)
-        kw = dict(sample_kwargs)
+        # factory defaults first, explicit sample_kwargs win; the
+        # framework-controlled train flag is set last
+        kw = {**apply_kwargs, **sample_kwargs}
         if train_kwarg is not None:
             # init_train=True for modules whose parameter set only
             # materializes in training mode (e.g. an auxiliary head)
             kw[train_kwarg] = init_train
-        variables = module.init(init_rngs, *sample_args, **kw, **apply_kwargs)
+        variables = module.init(init_rngs, *sample_args, **kw)
     variables = dict(variables)
     mutable_collections = tuple(k for k in variables.keys() if k != "params")
 
     def apply_fn(vs, *args, train=True, rngs=None, mutable=(), **kwargs):
-        kw = dict(kwargs)
-        kw.update(apply_kwargs)
+        # per-call kwargs override the factory-time apply_kwargs defaults
+        kw = {**apply_kwargs, **kwargs}
         if train_kwarg is not None:
             kw[train_kwarg] = train
         if mutable:  # flax returns (out, mutated) iff mutable is passed
@@ -166,8 +168,9 @@ def from_hf_flax(hf_model, pad_token_id: Optional[int] = None) -> FunctionalModu
 def ensure_module(obj) -> FunctionalModule:
     """Coerce user input into a FunctionalModule.
 
-    Accepts: FunctionalModule | (apply_fn, params) tuple | object with
-    ``.apply``/``.init`` (flax-style, must also provide variables separately).
+    Accepts: FunctionalModule | ``(apply_fn, params)`` tuple. Wrap flax
+    modules with :func:`from_flax` (an init'd variables dict is required,
+    so a bare flax module object is not accepted here).
     """
     if isinstance(obj, FunctionalModule):
         return obj

@@ -15,6 +15,7 @@ import numpy as np
 class ExperienceBuffer:
     def __init__(self):
         self._data: Dict[str, List[np.ndarray]] = {}
+        self._epoch = 0  # default shuffle stream for batches()
 
     def add(self, **fields):
         for key, value in fields.items():
@@ -30,13 +31,20 @@ class ExperienceBuffer:
 
     def clear(self):
         self._data = {}
+        self._epoch = 0
 
-    def batches(self, batch_size: int, shuffle=True, seed=0,
+    def batches(self, batch_size: int, shuffle=True, seed=None,
                 drop_last=True) -> Iterator[Dict[str, np.ndarray]]:
+        """seed=None (default) derives a fresh permutation per call
+        (epoch counter), so repeated PPO epochs over the same buffer see
+        different minibatch orders; pass a seed for reproducible order."""
         data = self.stacked()
         n = len(self)
         order = np.arange(n)
         if shuffle:
+            if seed is None:
+                seed = self._epoch
+                self._epoch += 1
             np.random.RandomState(seed).shuffle(order)
         end = n - batch_size + 1 if drop_last else n
         for i in range(0, end, batch_size):

@@ -45,15 +45,16 @@ def tree_dot(a, b):
     Counterpart of ``torch.dot(to_vec(a), to_vec(b))`` in the reference's CG
     solver (``betty/hypergradient/cg.py:45-47``).
     """
-    leaves_a = jax.tree_util.tree_leaves(a)
-    leaves_b = jax.tree_util.tree_leaves(b)
-    return sum(
-        jnp.vdot(
+    # tree_map (not zip over leaves) so mismatched structures fail fast
+    # instead of silently truncating the sum
+    parts = jax.tree_util.tree_map(
+        lambda x, y: jnp.vdot(
             x.astype(jnp.promote_types(x.dtype, jnp.float32)),
             y.astype(jnp.promote_types(y.dtype, jnp.float32)),
-        )
-        for x, y in zip(leaves_a, leaves_b)
+        ),
+        a, b,
     )
+    return sum(jax.tree_util.tree_leaves(parts))
 
 
 def tree_norm(a):
@@ -85,12 +86,9 @@ def tree_cast(tree, dtype):
 
 def tree_where_mask(mask, a, b):
     """Select a where mask else b, leafwise. ``mask`` is a pytree of bools
-    (or a prefix) used for meta-trainable parameter filtering."""
+    with the SAME structure as ``a``/``b`` (used for meta-trainable
+    parameter filtering)."""
     return jax.tree_util.tree_map(lambda m, x, y: jnp.where(m, x, y), mask, a, b)
-
-
-def global_norm(tree):
-    return tree_norm(tree)
 
 
 def clip_by_global_norm(tree, max_norm):
@@ -108,8 +106,6 @@ def fold_rng_name(key, name: str):
     module init (from_flax) and per-step forward so init-time and step-time
     streams use the same naming scheme."""
     import zlib
-
-    import jax
 
     return jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
 
