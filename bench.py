@@ -570,13 +570,15 @@ def main():
     fused = bench_fused_ops()
     sama_tfm = bench_sama_transformer()
     ref = bench_reference()
-    vs = (solvers["darts"]["median"] / ref) if ref else 1.0
+    # None (not 1.0) when the reference could not run: a silent default of
+    # parity would be indistinguishable from a measured 1.0x
+    vs = (solvers["darts"]["median"] / ref) if ref else None
 
     print(json.dumps({
         "metric": "mwn_meta_steps_per_sec",
         "value": solvers["darts"]["median"],
         "unit": "steps/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(vs, 3) if vs is not None else None,
         "solvers": solvers,
         "handwritten_jax_peak_steps_per_sec": round(handwritten, 3),
         # peak-vs-peak: both sides' best windows (shared-chip contention

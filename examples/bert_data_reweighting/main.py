@@ -86,10 +86,19 @@ def load_sst2(data_dir, vocab, seq_len):
         with open(os.path.join(data_dir, name)) as f:
             for line in f:
                 parts = line.rstrip("\n").split("\t", 1)
-                if len(parts) != 2 or not parts[0].strip().isdigit():
-                    continue  # header or malformed row
-                labels.append(int(parts[0]))
-                sents.append(parts[1])
+                if len(parts) != 2:
+                    continue  # malformed row
+                if parts[0].strip().isdigit():          # label<TAB>sentence
+                    labels.append(int(parts[0]))
+                    sents.append(parts[1])
+                elif parts[1].strip().isdigit():        # sentence<TAB>label
+                    labels.append(int(parts[1]))        # (GLUE column order)
+                    sents.append(parts[0])
+        if not labels:
+            raise ValueError(
+                f"{name}: no parseable rows — expected TSV with a numeric "
+                "label column in either position (header rows are skipped)"
+            )
         return sents, np.asarray(labels, np.int32)
 
     tok_path = os.path.join(data_dir, "tokenizer")

@@ -122,6 +122,12 @@ def build_engine(args):
         x_v2, y_v2 = make_seq_data(args.n, args.seq_len, args.vocab,
                                    args.classes, 2)
 
+    # held-out eval split: last 20% of the outer split stays out of
+    # every training loader
+    holdout = max(len(y_v2) // 5, 1)
+    x_test, y_test = x_v2[-holdout:], y_v2[-holdout:]
+    x_v2, y_v2 = x_v2[:-holdout], y_v2[:-holdout]
+
     def loader(x, y):
         return [(x[i : i + args.batch], y[i : i + args.batch])
                 for i in range(0, len(x) - args.batch + 1, args.batch)]
@@ -166,7 +172,7 @@ def build_engine(args):
             "l2u": {inner1: [inner2, outer], inner2: [outer]},
         },
     )
-    engine.test_data = (x_v2[: 4 * args.batch], y_v2[: 4 * args.batch])
+    engine.test_data = (x_test, y_test)
     return engine
 
 

@@ -184,6 +184,8 @@ if __name__ == "__main__":
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--valid_step", type=int, default=50)
+    p.add_argument("--arch", default="darts", choices=["darts", "mlp"],
+                   help="mlp = lightweight backbone for CI smoke runs")
     p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
                    help="CIFAR-10 pickle dir or npz; synthetic if unset")
     args = p.parse_args()

@@ -70,7 +70,11 @@ class Inner2(ImplicitProblem):
         delta = jax.lax.fori_loop(
             0, self.cfg["pgd_steps"], pgd_step, jnp.zeros_like(x)
         )
-        delta = jax.lax.stop_gradient(delta)
+        # stop gradients through the PGD ITERATIONS but keep the final
+        # projection differentiable in eps — it is the only data-dependent
+        # path from the robust-gap loss to the budget parameters (without
+        # it the budget learner can only shrink eps via the cost term)
+        delta = jnp.clip(jax.lax.stop_gradient(delta), -eps, eps)
 
         adv_logits = self.inner1((x + delta) * mask)
         clean_logits = self.inner1(x * mask)
@@ -124,6 +128,12 @@ def build_engine(args):
         x_v1, y_v1 = make_data(args.n, args.dim, args.classes, 1)
         x_v2, y_v2 = make_data(args.n, args.dim, args.classes, 2)
 
+    # genuinely held-out data for validation(): the last 20% of the
+    # outer split never enters any level's training loader
+    holdout = max(len(y_v2) // 5, 1)
+    x_test, y_test = x_v2[-holdout:], y_v2[-holdout:]
+    x_v2, y_v2 = x_v2[:-holdout], y_v2[:-holdout]
+
     def loader(x, y):
         return [(x[i : i + args.batch], y[i : i + args.batch])
                 for i in range(0, len(x) - args.batch + 1, args.batch)]
@@ -132,7 +142,7 @@ def build_engine(args):
         name="outer",
         module=from_fn(lambda p: p["mask"], {"mask": jnp.zeros(args.dim)}),
         optimizer=optim.adam(lr=args.arch_lr),
-        train_data_loader=loader(x_v2, y_v2),
+        train_data_loader=loader(x_v2, y_v2),  # (test split carved off below)
         config=Config(type="darts", first_order=True, log_step=args.log_step),
     )
     inner2 = Inner2(
@@ -162,7 +172,7 @@ def build_engine(args):
             "l2u": {inner1: [inner2, outer], inner2: [outer]},
         },
     )
-    engine.test_data = (x_v2, y_v2)
+    engine.test_data = (x_test, y_test)
     return engine
 
 

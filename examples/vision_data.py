@@ -82,28 +82,22 @@ def load_omniglot(data_dir):
     return x, np.asarray(d["labels"], np.int32)
 
 
-def accuracy_eval(apply_fn, variables, x, y, batch=512):
-    """Host-side eval-mode accuracy over a test set."""
-    import jax.numpy as jnp
-
-    correct = n = 0
-    bs = min(batch, len(y))
-    for i in range(0, len(y) - bs + 1, bs):
-        logits = apply_fn(variables, jnp.asarray(x[i : i + bs]))
-        correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
-        n += bs
-    return 100.0 * correct / max(n, 1)
-
-
 def problem_accuracy(fwd, x, y, batch=256):
     """Batched eval accuracy through a problem's forward (``engine.<name>``),
-    shared by the example engines' ``validation()`` implementations."""
+    shared by the example engines' ``validation()`` implementations. The
+    trailing partial batch is evaluated too (padded to the batch size so
+    compiled shapes stay fixed) — dropping it would bias the metric and the
+    best-checkpoint decisions that consume it."""
     import jax.numpy as jnp
 
     bs = min(batch, len(y))
-    correct = n = 0
-    for i in range(0, len(y) - bs + 1, bs):
-        logits = fwd(jnp.asarray(x[i : i + bs]))
-        correct += int((np.asarray(logits).argmax(1) == y[i : i + bs]).sum())
-        n += bs
-    return 100.0 * correct / max(n, 1)
+    correct = 0
+    for i in range(0, len(y), bs):
+        xb, yb = x[i : i + bs], y[i : i + bs]
+        k = len(yb)
+        if k < bs:  # pad the tail to the steady batch shape
+            pad = bs - k
+            xb = np.concatenate([np.asarray(xb), np.asarray(x[:pad])])
+        logits = fwd(jnp.asarray(xb))
+        correct += int((np.asarray(logits)[:k].argmax(1) == yb).sum())
+    return 100.0 * correct / max(len(y), 1)

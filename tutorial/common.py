@@ -17,14 +17,20 @@ from betty_tpu.models import MLP
 from betty_tpu.module import from_flax
 
 
+# class prototypes FIXED across splits: train/meta/test must be draws from
+# the SAME task or the bilevel demo (and its validation accuracy) is
+# meaningless
+_PROTOS = np.random.RandomState(12345).randn(2, 784)
+
+
 def make_imbalanced_mnist(n=2048, imbalance=20, seed=0):
-    """Synthetic 28x28 two-class data with heavy class imbalance."""
+    """Synthetic 28x28 two-class data with heavy class imbalance. ``seed``
+    varies the examples and imbalance draw, not the underlying task."""
     rng = np.random.RandomState(seed)
     n_minor = n // (imbalance + 1)
     y = np.concatenate([np.ones(n_minor), np.zeros(n - n_minor)])
     rng.shuffle(y)
-    protos = rng.randn(2, 784)
-    x = protos[y.astype(int)] + rng.randn(n, 784)
+    x = _PROTOS[y.astype(int)] + rng.randn(n, 784)
     return x.astype(np.float32), y.astype(np.int32)
 
 
