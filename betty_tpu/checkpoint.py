@@ -241,4 +241,5 @@ def restore_engine_state(engine, path: str):
                 jax.tree_util.tree_map(lambda a: a[j], stacked)
                 for j in range(k)
             ]
+            p._unroll_stack_cache = None
             p._pending_unroll_reset = False

@@ -519,6 +519,7 @@ class BlockRunner:
         # ITD bookkeeping: per IterativeProblem child, the unroll start state
         # and batches consumed since, assembled into the parent's itd_data
         itd_start = {}
+        itd_start_count = {}
         itd_batches = {}
         itd_names = {
             name
@@ -539,6 +540,8 @@ class BlockRunner:
                 "start_params": start["params"],
                 "start_opt_state": start["opt_state"],
                 "start_sched_step": start["sched_step"],
+                "start_extra": start["extra"],
+                "start_count": itd_start_count[name],
                 "batches": batches,
             }
 
@@ -592,8 +595,13 @@ class BlockRunner:
                     cache[p.name] = states[p.name]
                 if seg.name in itd_names:
                     # differentiation starting point for the ITD replay
-                    # (captured after the hook, like the eager driver)
+                    # (captured after the hook, like the eager driver);
+                    # the window's first micro-step runs at count_offset,
+                    # so the pre-window count is one less
                     itd_start[seg.name] = states[seg.name]
+                    itd_start_count[seg.name] = jnp.asarray(
+                        counts0[seg.name] + ev.count_offset - 1, jnp.int32
+                    )
                     itd_batches[seg.name] = []
 
             if ev.rollback_recover:

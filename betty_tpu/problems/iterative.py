@@ -71,6 +71,9 @@ class IterativeProblem(Problem):
         )
         if not getattr(self, "_in_rollback_restep", False):
             self._unroll_batches.append(self.cur_batch)
+            # the stacked-batches cache serves multiple parents within ONE
+            # window; any recording change invalidates it
+            self._unroll_stack_cache = None
         return loss_dict
 
     # -- differentiable replay ----------------------------------------------
@@ -81,14 +84,23 @@ class IterativeProblem(Problem):
         assert self._unroll_start_state is not None and self._unroll_batches, (
             f"IterativeProblem {self.name} has no recorded unroll to replay"
         )
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *self._unroll_batches
-        )
+        n = len(self._unroll_batches)
+        stacked = getattr(self, "_unroll_stack_cache", None)
+        if stacked is None:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *self._unroll_batches
+            )
+            self._unroll_stack_cache = stacked
         start = self._unroll_start_state
         return {
             "start_params": start["params"],
             "start_opt_state": start["opt_state"],
             "start_sched_step": start["sched_step"],
+            "start_extra": start["extra"],
+            # the count just before the window's first micro-step: the eager
+            # path folds rng per step from the POST-increment count, so micro
+            # m uses fold_in(key, start_count + m + 1)
+            "start_count": jnp.asarray(self._count - n, jnp.int32),
             "batches": stacked,
         }
 
@@ -103,7 +115,17 @@ class IterativeProblem(Problem):
         """Re-run this problem's last unroll as a pure differentiable function
         of the trace context; returns post-unroll params. ``data`` comes from
         :meth:`get_unroll_data` and is threaded through the parent's jitted
-        update as an argument."""
+        update as an argument.
+
+        Trajectory fidelity: the replay mirrors the eager unroll exactly —
+        per-micro-step rng folding (dropout masks match), mutable-collection
+        (BatchNorm) threading, gradient clipping / grad_callback /
+        param_callback / custom_optimizer_step via the same
+        ``_apply_optimizer``, and the roll-back scheduler freeze — so the
+        parent differentiates the trajectory that actually ran
+        (tests/test_itd.py asserts endpoint equality)."""
+        from betty_tpu.utils import tree_add, tree_zeros_like
+
         with _CtxBinding(ctx, None, rng):
             init_params = self.unroll_init(data["start_params"])
 
@@ -112,43 +134,82 @@ class IterativeProblem(Problem):
         gas = self.gas
         if gas > 1:
             # gradient accumulation: group the recorded micro-batches into
-            # optimizer steps of `gas` each; grads of (sum loss_j / gas)
-            # accumulate, the optimizer steps once per group, and the
-            # scheduler counter still advances per micro-step (driver
-            # semantics, reference problem.py:354-357 + 391-392)
+            # optimizer steps of `gas` each (driver semantics, reference
+            # problem.py:354-357 + 391-392)
             stacked = jax.tree_util.tree_map(
                 lambda x: x.reshape((x.shape[0] // gas, gas) + x.shape[1:]),
                 stacked,
             )
 
-        def inner_step(carry, batch_group):
-            params, opt_state, sched_step = carry
+        # eager parity: sched_step is frozen during roll_back unrolls
+        # (problem.py build_update_fn advance_sched = not _roll_back)
+        advance = not self._roll_back
+        base_key = jax.random.PRNGKey(self._rng_seed)
+        start_count = data.get("start_count")
+        start_extra = data.get("start_extra", ctx[self.name]["extra"])
+        n_groups = jax.tree_util.tree_leaves(stacked)[0].shape[0]
 
-            def loss_fn(p):
-                c = ctx_replace(ctx, problem.name, p)
-                if gas > 1:
-                    total = 0.0
-                    for j in range(gas):
-                        micro = jax.tree_util.tree_map(
-                            lambda x: x[j], batch_group
-                        )
-                        loss, _, _ = problem.eval_loss(c, micro, rng=rng)
-                        total = total + loss
-                    return total / gas
-                loss, _, _ = problem.eval_loss(c, batch_group, rng=rng)
-                return loss
+        def inner_step(carry, xs):
+            state = carry
+            k, batch_group = xs
 
-            g = jax.grad(loss_fn)(params)
-            # update sees the counter as of the group's last micro-step
-            updates, opt_state = problem.optimizer.update(
-                g, opt_state, params, sched_step=sched_step + gas - 1
-            )
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, sched_step + gas), None
+            grad_acc = tree_zeros_like(state["params"])
+            extra = state["extra"]
+            for j in range(gas):
+                micro = (
+                    batch_group if gas == 1
+                    else jax.tree_util.tree_map(lambda x: x[j], batch_group)
+                )
+                r = rng
+                if start_count is not None:
+                    # the eager path increments count BEFORE descending
+                    r = jax.random.fold_in(
+                        base_key, start_count + k * gas + j + 1
+                    )
 
-        (params, _, _), _ = jax.lax.scan(
+                def loss_fn(p, _extra=extra, _micro=micro, _r=r):
+                    c = dict(ctx)
+                    c[problem.name] = {"params": p, "extra": _extra}
+                    loss, _, mutated = problem.eval_loss(
+                        c, _micro, rng=_r, capture=True
+                    )
+                    return loss / gas, mutated
+
+                (_, mutated), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state["params"])
+                grad_acc = tree_add(grad_acc, g)
+                if mutated:
+                    extra = {**extra, **mutated}
+
+            step_state = dict(state)
+            step_state["extra"] = extra
+            step_state["grad_acc"] = grad_acc
+            if advance and gas > 1:
+                # eager advances sched per MICRO-step (after each update), so
+                # the boundary optimizer call sees start + gas - 1
+                step_state["sched_step"] = step_state["sched_step"] + (gas - 1)
+            c = dict(ctx)
+            c[problem.name] = {"params": state["params"], "extra": extra}
+            # same boundary logic as the eager path: clipping, callbacks,
+            # custom steps, last_grad — _apply_optimizer is the single source
+            step_state = problem._apply_optimizer(step_state, c, rng)
+            if advance:
+                step_state["sched_step"] = step_state["sched_step"] + 1
+            return step_state, None
+
+        start_state = {
+            "params": init_params,
+            "extra": start_extra,
+            "opt_state": data["start_opt_state"],
+            "sched_step": data["start_sched_step"],
+            "grad_acc": tree_zeros_like(init_params),
+        }
+        if self._needs_last_grad:
+            start_state["last_grad"] = tree_zeros_like(init_params)
+        final_state, _ = jax.lax.scan(
             inner_step,
-            (init_params, data["start_opt_state"], data["start_sched_step"]),
-            stacked,
+            start_state,
+            (jnp.arange(n_groups, dtype=jnp.int32), stacked),
         )
-        return params
+        return final_state["params"]

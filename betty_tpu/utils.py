@@ -125,6 +125,8 @@ def convert_scalar(value) -> Any:
             return value.item()
         except Exception:  # non-scalar arrays pass through
             return np.asarray(value)
+    if isinstance(value, np.generic):  # np.float32(...) etc. from np.mean
+        return value.item()
     return value
 
 

@@ -209,3 +209,74 @@ def test_itd_rollback_restep_not_recorded():
     assert len(adapt._unroll_batches) <= INNER_STEPS * 2
     w = np.asarray(engine.states["meta"]["params"]["w"])
     assert np.all(np.isfinite(w))
+
+
+def test_replay_matches_eager_trajectory_with_dropout_clip_schedule():
+    """The fidelity invariant behind ITD correctness: replaying the recorded
+    unroll must land EXACTLY on the child's real post-unroll parameters,
+    including per-step dropout rng, gradient clipping, and an LR schedule —
+    the parent's jax.grad differentiates the trajectory that actually ran."""
+    import flax.linen as nn
+
+    from betty_tpu.module import from_flax
+
+    class Dropy(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            h = nn.Dense(8)(x)
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+            return nn.Dense(1)(h)
+
+    xs = np.asarray(rng.randn(INNER_STEPS * 4, 4), np.float32)
+    ys = np.asarray(rng.randn(INNER_STEPS * 4, 1), np.float32)
+
+    class Meta2(ImplicitProblem):
+        def training_step(self, batch):
+            x, y = batch
+            return jnp.mean((self.adapt(x) - y) ** 2)
+
+    class Adapt2(IterativeProblem):
+        def training_step(self, batch):
+            x, y = batch
+            return jnp.mean((self.module(x) - y) ** 2)
+
+    meta = Meta2(
+        "meta",
+        module=from_fn(lambda p: p["w"], {"w": jnp.zeros(1)}),
+        optimizer=optim.sgd(lr=0.0),  # parent step is irrelevant here
+        train_data_loader=[(jnp.asarray(xs[:4]), jnp.asarray(ys[:4]))],
+        config=Config(first_order=False),
+    )
+    adapt = Adapt2(
+        "adapt",
+        module=from_flax(Dropy(), jnp.zeros((4, 4)),
+                         rng=jax.random.PRNGKey(3), train_kwarg="train"),
+        optimizer=optim.sgd(
+            lr=0.3, momentum=0.9,
+            schedule=optim.step_lr(0.3, step_size=2, gamma=0.5),
+        ),
+        train_data_loader=[
+            (jnp.asarray(xs[i * 4 : (i + 1) * 4]),
+             jnp.asarray(ys[i * 4 : (i + 1) * 4]))
+            for i in range(INNER_STEPS)
+        ],
+        config=Config(unroll_steps=INNER_STEPS, gradient_clipping=0.7),
+    )
+    engine = Engine(
+        config=EngineConfig(train_iters=INNER_STEPS),
+        problems=[meta, adapt],
+        dependencies={"u2l": {meta: [adapt]}, "l2u": {adapt: [meta]}},
+    )
+    engine.run()
+
+    actual = engine.states["adapt"]["params"]
+    ctx = {n: {"params": s["params"], "extra": s["extra"]}
+           for n, s in engine.states.items()}
+    replayed = adapt.replay_unroll(ctx, adapt.get_unroll_data(),
+                                   rng=jax.random.PRNGKey(99))
+    diff = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(actual),
+                        jax.tree_util.tree_leaves(replayed))
+    )
+    assert diff < 1e-6, f"replayed trajectory diverges from eager: {diff}"
