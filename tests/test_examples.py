@@ -268,3 +268,28 @@ def test_bert_reweighting_with_hf_roberta(tmp_path):
         engine.states["reweight"]["params"]["Dense_0"]["kernel"]
     )
     assert np.all(np.isfinite(w))
+
+
+def test_sst2_tsv_glue_column_order(tmp_path):
+    """GLUE distributes SST-2 as sentence<TAB>label; the reader must accept
+    both column orders and fail loudly on unparseable files."""
+    mod = load("bert_data_reweighting")
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write("sentence\tlabel\n")  # header
+        for i in range(40):
+            f.write(f"some words here {i}\t{i % 2}\n")
+    with open(tmp_path / "dev.tsv", "w") as f:
+        for i in range(8):
+            f.write(f"{i % 2}\tother words {i}\n")  # label-first also fine
+    x_tr, y_tr, x_dev, y_dev = mod.load_sst2(str(tmp_path), vocab=200,
+                                             seq_len=8)
+    assert len(y_tr) == 40 and len(y_dev) == 8
+    assert set(np.unique(y_tr)) == {0, 1}
+
+    (tmp_path / "bad").mkdir()
+    with open(tmp_path / "bad" / "train.tsv", "w") as f:
+        f.write("no labels anywhere\n")
+    with open(tmp_path / "bad" / "dev.tsv", "w") as f:
+        f.write("also nothing\n")
+    with pytest.raises(ValueError, match="no parseable rows"):
+        mod.load_sst2(str(tmp_path / "bad"), vocab=200, seq_len=8)

@@ -163,3 +163,39 @@ def test_tutorial_custom_solver_runs():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert "custom t1t2 solver trained" in out.stdout
+
+
+def test_sanas_budget_receives_data_gradient():
+    """The PGD result's final projection must stay differentiable in eps —
+    a blanket stop_gradient left the budget learner with only the eps-cost
+    term, so every step could only shrink the budget."""
+    import jax
+    import numpy as np
+
+    mod = load("saliency_aware_nas_4_level")
+    args = type("A", (), dict(
+        dim=16, classes=3, n=256, batch=32, lr=0.05, arch_lr=1e-3,
+        budget_lr=1e-3, pgd_steps=6, pgd_lr=0.05, unroll1=1, unroll2=1,
+        train_iters=1, log_step=-1,
+    ))
+    # 6 PGD steps x 0.05 = |delta|=0.3 > softplus(-2)~0.13, so the clip at
+    # +-eps binds and the projection's eps-gradient path is active
+    engine = mod.build_engine(args)
+    engine.run()
+    inner2 = engine.inner2
+    ctx = {n: {"params": s["params"], "extra": s["extra"]}
+           for n, s in engine.states.items()}
+
+    def loss_of_eps(eps_params):
+        c = dict(ctx)
+        c["inner2"] = {"params": eps_params, "extra": ctx["inner2"]["extra"]}
+        loss, _, _ = inner2.eval_loss(c, inner2.cur_batch,
+                                      rng=jax.random.PRNGKey(0))
+        return loss
+
+    g = jax.grad(loss_of_eps)(ctx["inner2"]["params"])
+    g_flat = np.asarray(jax.tree_util.tree_leaves(g)[0])
+    # the budget-cost term alone gives a CONSTANT gradient across features
+    # (0.1 * sigmoid(eps)/dim); a data-dependent robust-gap contribution
+    # makes per-feature gradients differ
+    assert np.std(g_flat) > 1e-9, "eps gradient is data-independent"
