@@ -202,6 +202,11 @@ class Problem(abc.ABC):
         import zlib
 
         self._rng_seed = zlib.crc32(name.encode()) & 0x7FFFFFFF
+        # host-path rng call counter: distinct key per access within a step
+        # (reset when the local step advances), so validation-time dropout
+        # does not repeat across calls (VERDICT r2 #8)
+        self._host_rng_calls = 0
+        self._host_rng_last_count = -1
 
     # ------------------------------------------------------------------
     # basic properties
@@ -275,13 +280,22 @@ class Problem(abc.ABC):
     @property
     def rng(self):
         """Per-step PRNG key available inside ``training_step``. On the host
-        (validation-time calls) the key advances with the local step, like
-        the traced per-step folding in ``one_step_descent``."""
+        (validation-time calls) the key advances with the local step AND a
+        per-call counter, so repeated accesses within one step (e.g. several
+        dropout forwards during validation) each get a fresh key. The call
+        counter resets when the local step advances, keeping the sequence
+        reproducible per (step, call-index)."""
         if _TRACE_RNG is not None:
             return _TRACE_RNG
-        return jax.random.fold_in(
+        if self._host_rng_last_count != self._count:
+            self._host_rng_last_count = self._count
+            self._host_rng_calls = 0
+        key = jax.random.fold_in(
             jax.random.PRNGKey(self._rng_seed), self._count
         )
+        key = jax.random.fold_in(key, self._host_rng_calls)
+        self._host_rng_calls += 1
+        return key
 
     # ------------------------------------------------------------------
     # initialization (reference problem.py:114-196)

@@ -204,3 +204,28 @@ def test_penalty_problem():
     engine.run()
     assert "last_grad" not in engine.states["inner"]
     assert inner.count == 10 and outer.count == 2
+
+
+def test_host_rng_fresh_per_call():
+    """Host-path ``Problem.rng`` must yield a DISTINCT key on each access
+    within one local step (validation-time dropout must not repeat), while
+    staying reproducible per (step, call-index). Regression for the
+    round-1/2 foot-gun: only ``_count`` was folded, so every call in a step
+    returned the same key."""
+    from betty_tpu import optim
+    from fixtures import child_module
+
+    p = Inner("rngprob", module=child_module(), optimizer=optim.sgd(lr=0.1))
+    k1 = np.asarray(p.rng)
+    k2 = np.asarray(p.rng)
+    assert not np.array_equal(k1, k2), "rng repeated within a step"
+
+    # reproducible: a fresh problem with the same name replays the sequence
+    q = Inner("rngprob", module=child_module(), optimizer=optim.sgd(lr=0.1))
+    assert np.array_equal(np.asarray(q.rng), k1)
+    assert np.array_equal(np.asarray(q.rng), k2)
+
+    # advancing the local step resets the call counter on a new stream
+    q._count = 1
+    k3 = np.asarray(q.rng)
+    assert not np.array_equal(k3, k1) and not np.array_equal(k3, k2)
