@@ -69,6 +69,37 @@ def _sync(engine):
     )
 
 
+def hbm_peak_bytes():
+    """Device memory high-water mark (None when the runtime doesn't report
+    memory_stats, e.g. some tunneled backends)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return int(stats.get("peak_bytes_in_use", 0)) or None
+
+
+def block_cost_flops(runner, periods):
+    """Per-meta-step FLOPs from XLA cost analysis of the compiled block."""
+    import sys as _sys
+
+    try:
+        compiled = runner._jit_block.lower(
+            *runner._last_abstract_args
+        ).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]) / periods
+    except Exception as e:  # pragma: no cover
+        print(f"# cost analysis unavailable: {e!r}", file=_sys.stderr)
+        return None
+
+
 def bench_solver(solver, precision="fp32"):
     """Compiled-block mode with device-resident data (the TPU execution
     path), K periods per dispatch. Timing is synced with an actual device
@@ -112,18 +143,7 @@ def bench_solver(solver, precision="fp32"):
         t1 = time.perf_counter()
         rates.append(n_blocks * K / (t1 - t0))
 
-    flops = None
-    if solver == "darts":
-        try:
-            compiled = runner._jit_block.lower(
-                *runner._last_abstract_args
-            ).compile()
-            cost = compiled.cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost["flops"]) / K  # per meta-step
-        except Exception as e:  # pragma: no cover
-            print(f"# cost analysis unavailable: {e!r}", file=sys.stderr)
+    flops = block_cost_flops(runner, K)
     return statistics.median(rates), max(rates), flops
 
 
@@ -437,6 +457,174 @@ def bench_fused_ops(cg_iterations=10):
     }
 
 
+def bench_flash_attention(B=8, H=16, S=512, D=64):
+    """Blockwise Pallas attention vs plain XLA einsum attention at the
+    north-star head geometry, seq 512, bf16: fwd and fwd+bwd step times
+    (VERDICT r2 #2). TPU only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return None
+
+    from betty_tpu.ops.flash_attention import (
+        flash_attention,
+        reference_attention,
+    )
+
+    rng = np.random.RandomState(0)
+
+    def mk(_):
+        return jnp.asarray(
+            rng.randn(B, H, S, D).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+    q, k, v, w = mk(0), mk(1), mk(2), mk(3)
+
+    def timeit(f, *a, n=30):
+        r = f(*a)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = f(*a)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n
+
+    def loss(attn):
+        return lambda q, k, v: jnp.sum(
+            (attn(q, k, v) * w).astype(jnp.float32))
+
+    f_ref = jax.jit(reference_attention)
+    f_fla = jax.jit(flash_attention)
+    vg_ref = jax.jit(jax.grad(loss(reference_attention), argnums=(0, 1, 2)))
+    vg_fla = jax.jit(jax.grad(loss(flash_attention), argnums=(0, 1, 2)))
+
+    t_ref_f, t_fla_f = timeit(f_ref, q, k, v), timeit(f_fla, q, k, v)
+    t_ref_b, t_fla_b = timeit(vg_ref, q, k, v), timeit(vg_fla, q, k, v)
+    err = float(jnp.max(jnp.abs(
+        f_fla(q, k, v).astype(jnp.float32) -
+        f_ref(q, k, v).astype(jnp.float32))))
+    speedup = t_ref_b / t_fla_b
+    return {
+        "shape": f"B{B} H{H} S{S} D{D} bf16",
+        "fwd_ms": {"xla": round(t_ref_f * 1e3, 3),
+                   "flash": round(t_fla_f * 1e3, 3)},
+        "fwd_bwd_ms": {"xla": round(t_ref_b * 1e3, 3),
+                       "flash": round(t_fla_b * 1e3, 3)},
+        "fwd_speedup": round(t_ref_f / t_fla_f, 3),
+        "fwd_bwd_speedup": round(speedup, 3),
+        "max_err_vs_xla": float(f"{err:.2e}"),
+        "verdict": "flash-wins" if speedup > 1.0 else "xla-wins-in-context",
+    }
+
+
+def transformer_fwd_flops(n_matmul_params, batch, seq, heads, head_dim,
+                          layers):
+    """Analytic matmul FLOPs of ONE encoder forward: 2*P*T for the dense
+    projections plus the two S x S attention matmuls per layer."""
+    tokens = batch * seq
+    return (2.0 * n_matmul_params * tokens
+            + layers * 4.0 * batch * heads * seq * seq * head_dim)
+
+
+def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3):
+    """THE north-star scale (BASELINE.md): SAMA data reweighting with a
+    RoBERTa-large-sized encoder (355M params, 24L/1024d/16h) on the real
+    chip — bf16, unroll 5, compiled-block mode, device-resident data.
+    Emits meta-period wall-clock, ANALYTIC-FLOPs MFU over the inner
+    transformer computation, XLA-cost-analysis MFU, and the HBM
+    high-water mark (VERDICT r2 #1)."""
+    import statistics
+
+    import jax
+
+    sys.path.insert(0, str(
+        Path(__file__).resolve().parent / "examples" / "bert_data_reweighting"
+    ))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bert_bench_ns",
+        Path(__file__).resolve().parent / "examples" / "bert_data_reweighting"
+        / "main.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bert_bench_ns"] = mod
+    spec.loader.exec_module(mod)
+
+    from betty_tpu.compile import BlockRunner
+
+    BATCH_NS, SEQ = 32, 128
+    argv = [
+        "--model", "large", "--train_iters", "0",
+        "--batch_size", str(BATCH_NS), "--seq_len", str(SEQ),
+        "--train_size", "512", "--meta_size", "256",
+        "--unroll_steps", "5", "--precision", "bf16",
+        "--hypergradient", "sama", "--device_data",
+    ]
+    if use_flash:
+        argv.append("--flash")
+    engine = mod.build_engine(mod.parse_args(argv))
+    engine.train()
+    runner = BlockRunner(engine, scan_periods=K)
+    t0 = time.perf_counter()
+    runner.run_block()
+    _sync(engine)
+    compile_s = time.perf_counter() - t0
+
+    rates = []
+    for _ in range(timed_blocks):
+        t0 = time.perf_counter()
+        runner.run_block()
+        _sync(engine)
+        rates.append(K / (time.perf_counter() - t0))
+    med = statistics.median(rates)
+
+    # analytic FLOPs: matmul params = total minus embeddings
+    import numpy as np
+
+    params = engine.states["classifier"]["params"]
+    emb = sum(
+        int(np.prod(x.shape))
+        for p, x in jax.tree_util.tree_leaves_with_path(params)
+        if "Embed" in str(p) or "pos_embedding" in str(p)
+    )
+    total = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(params))
+    p_mm = total - emb
+    f_fwd = transformer_fwd_flops(p_mm, BATCH_NS, SEQ, heads=16, head_dim=64,
+                                  layers=24)
+    # per meta-period: 5 inner fwd+bwd (3 fwd-units each) + SAMA's meta
+    # grad (3) + two perturbed forwards (1 each) = 20 fwd-units
+    unroll = 5
+    f_period = (3 * unroll + 5) * f_fwd
+    xla_flops = block_cost_flops(runner, K)
+
+    peak, kind = peak_flops()
+    out = {
+        "model": "roberta-large-scale (355M)",
+        "params_total": total,
+        "batch": BATCH_NS, "seq_len": SEQ, "unroll_steps": unroll,
+        "precision": "bf16", "solver": "sama",
+        "use_flash_attention": bool(use_flash),
+        "meta_periods_per_sec_median": round(med, 3),
+        "sec_per_meta_period": round(1.0 / med, 4),
+        "first_block_incl_compile_s": round(compile_s, 1),
+        "analytic_gflops_per_meta_period": round(f_period / 1e9, 1),
+        "mfu_analytic": round(f_period * med / peak, 4) if peak else None,
+        "xla_cost_gflops_per_meta_period":
+            round(xla_flops / 1e9, 1) if xla_flops else None,
+        "mfu_xla_cost":
+            round(xla_flops * med / peak, 4) if (xla_flops and peak) else None,
+    }
+    hbm = hbm_peak_bytes()
+    if hbm:
+        out["hbm_peak_bytes"] = hbm
+        out["hbm_peak_gib"] = round(hbm / 2**30, 2)
+    return out
+
+
 def bench_sama_transformer():
     """North-star shape at single-chip scale (BASELINE.md: SAMA RoBERTa
     reweighting): the bert_data_reweighting example's encoder (~17M params,
@@ -544,17 +732,28 @@ def setup_compile_cache():
 
 def main():
     cache_warm = setup_compile_cache()
+    peak_hw, kind = peak_flops()
     solvers = {}
     flops_per_step = None
     for solver in ("darts", "cg", "neumann"):
         med, peak, flops = bench_solver(solver)
-        solvers[solver] = {"median": round(med, 3), "peak": round(peak, 3)}
+        row = {"median": round(med, 3), "peak": round(peak, 3)}
         if flops:
+            row["gflops_per_meta_step"] = round(flops / 1e9, 3)
+            if peak_hw:
+                row["mfu"] = round(flops * med / peak_hw, 5)
+        hbm = hbm_peak_bytes()
+        if hbm:
+            row["hbm_peak_bytes"] = hbm  # process high-water so far
+        solvers[solver] = row
+        if solver == "darts" and flops:
             flops_per_step = flops
     # bf16 inner steps + fp32 hypergradients (the default solver_precision
     # policy): ~15% over fp32 on this workload
-    med, peak, _ = bench_solver("darts", precision="bf16")
+    med, peak, flops = bench_solver("darts", precision="bf16")
     solvers["darts_bf16"] = {"median": round(med, 3), "peak": round(peak, 3)}
+    if flops and peak_hw:
+        solvers["darts_bf16"]["mfu"] = round(flops * med / peak_hw, 5)
 
     # two passes against shared-chip contention: a single pass can land
     # entirely in a noisy window and make the overhead figure meaningless
@@ -562,13 +761,14 @@ def main():
     overhead_pct = 100.0 * (1.0 - solvers["darts"]["peak"] / handwritten)
 
     mfu = None
-    peak, kind = peak_flops()
-    if flops_per_step and peak:
-        mfu = flops_per_step * solvers["darts"]["median"] / peak
+    if flops_per_step and peak_hw:
+        mfu = flops_per_step * solvers["darts"]["median"] / peak_hw
 
     wallclock = bench_wallclock_to_acc()
     fused = bench_fused_ops()
+    flash = bench_flash_attention()
     sama_tfm = bench_sama_transformer()
+    northstar = bench_sama_roberta_large()
     ref = bench_reference()
     # None (not 1.0) when the reference could not run: a silent default of
     # parity would be indistinguishable from a measured 1.0x

@@ -121,7 +121,12 @@ class EngineConfig:
 
     # distributed training
     backend: str = "xla"  # parity field; collectives are XLA-inserted on TPU
-    strategy: str = "default"  # default | dp | distributed (=dp) | zero | fsdp | tp
+    # default | dp | distributed (=dp) | zero | fsdp | tp
+    #   | pp (stage-stacked params["blocks"] over a 'pp' mesh axis)
+    #   | ep (expert-stacked moe/* params over an 'ep' mesh axis)
+    #   | sp (replicated params; modules built with seq_axis= shard
+    #         activations over the 'sp' mesh axis)
+    strategy: str = "default"
 
     # early stopping
     early_stopping: bool = False

@@ -108,11 +108,19 @@ class Engine:
                     if self.config.compile_cache_dir != "auto":
                         raise  # explicit dir must work; auto degrades silently
         strategy = self._strategy
-        if strategy in ("distributed", "dp", "zero", "fsdp", "tp") or (
+        if strategy in ("distributed", "dp", "zero", "fsdp", "tp", "pp",
+                        "ep", "sp") or (
             self.config.mesh_shape is not None
         ):
             self.mesh = make_mesh(self.config.mesh_shape)
-            self._batch_sharding = batch_sharding(self.mesh)
+            # batch rides the dp axis; meshes without one (pure model-
+            # parallel layouts) replicate the batch
+            axis = "dp" if "dp" in self.mesh.shape else None
+            self._batch_sharding = (
+                batch_sharding(self.mesh) if axis else
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec())
+            )
         else:
             self.mesh = None
             self._batch_sharding = None
@@ -153,6 +161,28 @@ class Engine:
                 state = shard_state(state, self.mesh, strategy,
                                     rules=problem.config.shard_rules)
             self.states[problem.name] = state
+
+        # pp/ep shard only problems whose module exposes the expected
+        # stacked layout (others replicate); a program where NO problem
+        # matched would silently train unsharded — fail loudly instead
+        if self.mesh is not None and self._strategy in ("pp", "ep"):
+            from betty_tpu.parallel.mesh import strategy_matches
+
+            if not any(
+                strategy_matches(self._strategy, s)
+                for s in self.states.values()
+            ):
+                what = (
+                    "stage-stacked parameters under params['blocks'] "
+                    "(models.make_pipelined_transformer)"
+                    if self._strategy == "pp"
+                    else "expert-stacked parameters under a moe/ subtree "
+                         "(models.moe.init_moe_params)"
+                )
+                raise ValueError(
+                    f"strategy={self._strategy!r}: no problem's module has "
+                    f"{what}; nothing to shard"
+                )
 
         end = time.time()
         if self.is_rank_zero():

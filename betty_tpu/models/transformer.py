@@ -11,22 +11,69 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class FlashSelfAttention(nn.Module):
+    """Self-attention through the blockwise Pallas kernel
+    (betty_tpu/ops/flash_attention.py). Parameter structure and shapes are
+    IDENTICAL to ``nn.MultiHeadDotProductAttention`` (query/key/value/out
+    DenseGeneral), so weights transplant between the two paths — the
+    numeric-parity tests rely on it.
+
+    ``kv_mask`` is the (B, L) key-padding mask (True = attend); query rows
+    are left unmasked, which every model here masks downstream (see the
+    kernel's module docstring). No attention-probability dropout on this
+    path (flash kernels and the reference's SAMA workloads both run
+    without it).
+    """
+
+    num_heads: int
+    qkv_features: int
+    causal: bool = False
+    block_q: int = 128
+    block_kv: int = 128
+
+    @nn.compact
+    def __call__(self, x, kv_mask=None):
+        from betty_tpu.ops.flash_attention import flash_attention
+
+        head_dim = self.qkv_features // self.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(self.num_heads, head_dim), name=name,
+            axis=-1, dtype=x.dtype,
+        )
+        q = dense("query")(x)  # (B, L, H, D)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))  # (B,H,L,D)
+        o = flash_attention(q, k, v, kv_mask, causal=self.causal,
+                            block_q=self.block_q, block_kv=self.block_kv)
+        o = jnp.swapaxes(o, 1, 2)  # (B, L, H, D)
+        return nn.DenseGeneral(features=x.shape[-1], axis=(-2, -1),
+                               name="out", dtype=x.dtype)(o)
+
+
 class EncoderBlock(nn.Module):
     dim: int
     heads: int
     mlp_ratio: int = 4
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = True):
+    def __call__(self, x, mask=None, kv_mask=None, train: bool = True):
         # pre-LN transformer block
         y = nn.LayerNorm()(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads,
-            qkv_features=self.dim,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-        )(y, mask=mask)
+        if self.use_flash:
+            y = FlashSelfAttention(
+                num_heads=self.heads, qkv_features=self.dim,
+                name="MultiHeadDotProductAttention_0",  # weight-compatible
+            )(y, kv_mask=kv_mask)
+        else:
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads,
+                qkv_features=self.dim,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+            )(y, mask=mask)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = x + y
 
@@ -47,6 +94,8 @@ class TransformerClassifier(nn.Module):
     num_classes: int = 2
     dropout: float = 0.1
     pad_id: int = 1
+    use_flash: bool = False  # route attention through the Pallas kernel
+    remat: bool = False      # rematerialize each block in the backward
 
     @nn.compact
     def __call__(self, input_ids, train: bool = True):
@@ -63,9 +112,13 @@ class TransformerClassifier(nn.Module):
         x = tok + pos[:, :L]
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
+        block_cls = EncoderBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=(4,))
         for _ in range(self.depth):
-            x = EncoderBlock(self.dim, self.heads, dropout=self.dropout)(
-                x, mask=attn_mask, train=train
+            x = block_cls(self.dim, self.heads, dropout=self.dropout,
+                          use_flash=self.use_flash)(
+                x, attn_mask, pad_mask, train
             )
         x = nn.LayerNorm()(x)
 
@@ -76,11 +129,14 @@ class TransformerClassifier(nn.Module):
         return nn.Dense(self.num_classes)(pooled)
 
 
-def roberta_large_config(num_classes: int = 2, max_len: int = 128):
+def roberta_large_config(num_classes: int = 2, max_len: int = 128,
+                         use_flash: bool = False, remat: bool = False,
+                         dropout: float = 0.1):
     """The north-star scale (≈355M params)."""
     return TransformerClassifier(
         vocab_size=50265, max_len=max_len, dim=1024, depth=24, heads=16,
-        num_classes=num_classes,
+        num_classes=num_classes, use_flash=use_flash, remat=remat,
+        dropout=dropout,
     )
 
 

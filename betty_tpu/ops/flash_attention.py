@@ -1,0 +1,535 @@
+"""Blockwise (flash) attention Pallas kernels for TPU.
+
+The transformer inner loop of the north-star workload (SAMA RoBERTa data
+reweighting — reference ``examples/bert_data_reweighting/main.py`` fine-tunes
+``roberta-large``) is where the model's FLOPs and HBM traffic live. Plain
+attention materializes the ``(seq, seq)`` score matrix in HBM per head; this
+kernel tiles the computation with an online softmax so scores never leave
+VMEM, cutting HBM traffic and letting the MXU stream.
+
+Design (see the standard flash-attention tiling):
+
+* forward: grid ``(B, H, n_q, n_kv)`` with the KV dimension innermost;
+  running ``(m, l, acc)`` statistics live in VMEM scratch that persists
+  across KV tiles; the output is normalized and the per-row logsumexp is
+  saved once, on the final KV tile.
+* backward: two kernels with iteration orders matched to their outputs —
+  dK/dV walks Q tiles for each KV tile, dQ walks KV tiles for each Q tile.
+  Attention probabilities are recomputed from the saved logsumexp
+  (``p = exp(s - lse)``), so the scores matrix is never stored.
+* numerics: all softmax statistics and matmul accumulations in float32
+  (``preferred_element_type``), inputs may be bf16.
+
+Supported masking: an optional key/value padding mask ``kv_mask`` (True =
+attend) and/or ``causal=True`` (decoder self-attention; whole tiles above
+the diagonal are skipped, not just masked). Padded QUERY rows are not
+masked here — their outputs are garbage-but-finite and every model in this
+repo masks them downstream (masked mean pool / loss masking), matching the
+reference models' behavior at unpadded positions.
+
+AD support: reverse-mode only (``jax.custom_vjp``). That covers training
+and the darts/SAMA finite-difference hypergradient solvers (the north-star
+path). CG/Neumann HVPs differentiate *through* the gradient (forward-over-
+reverse or reverse-over-reverse), which a custom_vjp cannot provide — use
+the plain einsum attention for problems solved with CG/Neumann.
+
+On CPU the kernels run in interpret mode (tests); on TPU they compile via
+Mosaic.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+# -0.7 * max float32: large enough to zero out in exp, without -inf NaN traps
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _blocks(seq: int, block: int, what: str) -> int:
+    block = min(block, seq)
+    if seq % block != 0:
+        raise ValueError(
+            f"{what}: sequence length {seq} must be divisible by the "
+            f"block size {block} (pad the sequence)"
+        )
+    return block
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, sm_scale, causal, n_kv):
+    kv_idx = pl.program_id(3)
+    q_idx = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # whole-tile causal skip: run only if some column <= some row
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        # native-dtype operands into the MXU (bf16 runs at full rate);
+        # accumulation is f32 via preferred_element_type
+        q = q_ref[0, 0]                               # (block_q, D)
+        k = k_ref[0, 0]                               # (block_kv, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                  # (block_q, block_kv)
+
+        mask = None
+        if causal:
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + kv_idx * block_kv
+            mask = cols <= rows
+        if mask_ref is not None:
+            kvm = mask_ref[0] != 0                   # (block_kv,)
+            kvm = jnp.broadcast_to(kvm[None, :], (block_q, block_kv))
+            mask = kvm if mask is None else (mask & kvm)
+        if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[:, :1]                         # (block_q, 1)
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)                       # (block_q, block_kv) f32
+        if mask is not None:
+            # fully-masked rows: keep l exactly 0 instead of exp(0) noise
+            p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[0, 0]                               # (block_kv, D)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (block_q, D)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _flush():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        # lse = m + log l; fully-masked rows get -inf-free sentinel 0
+        lse = jnp.where(
+            l == 0.0, 0.0, m_scr[:, :1] + jnp.log(l_safe)
+        )
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _fwd(q, k, v, kv_mask, *, causal, sm_scale, block_q, block_kv,
+         interpret):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    block_q = _blocks(Sq, block_q, "flash_attention q")
+    block_kv = _blocks(Skv, block_kv, "flash_attention kv")
+    n_q, n_kv = Sq // block_q, Skv // block_kv
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), lambda b, h, q_, kv: (b, h, kv, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), lambda b, h, q_, kv: (b, h, kv, 0)),
+    ]
+    args = [q, k, v]
+    if kv_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, block_kv), lambda b, h, q_, kv: (b, kv))
+        )
+        args.append(kv_mask.astype(jnp.int32))
+    else:
+        in_specs.append(None)
+        args.append(None)
+
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal, n_kv=n_kv
+    )
+    if kv_mask is None:
+        # drop the None operand (pallas_call takes positional refs)
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                   acc_scr):
+            return _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                               m_scr, l_scr, acc_scr, sm_scale=sm_scale,
+                               causal=causal, n_kv=n_kv)
+        in_specs = in_specs[:3]
+        args = args[:3]
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, H, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, q_, kv: (b, h, q_, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES),
+                         lambda b, h, q_, kv: (b, h, q_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sq, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward: dK / dV  (grid walks Q tiles innermost for each KV tile)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, sm_scale, causal, n_q):
+    q_idx = pl.program_id(3)
+    kv_idx = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]                    # (block_q, 1)
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = jnp.exp(s - lse)                          # true probabilities
+        mask = None
+        if causal:
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + kv_idx * block_kv
+            mask = cols <= rows
+        if mask_ref is not None:
+            kvm = jnp.broadcast_to(
+                (mask_ref[0] != 0)[None, :], (block_q, block_kv))
+            mask = kvm if mask is None else (mask & kvm)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        # dV += P^T @ dO (operands in input dtype: full-rate MXU for bf16)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO @ V^T ; dS = P * (dP - di) * scale
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - di) * sm_scale).astype(q.dtype)
+        # dK += dS^T @ Q
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_idx == n_q - 1)
+    def _flush():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward: dQ  (grid walks KV tiles innermost for each Q tile)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_ref,
+                   dq_ref, dq_scr, *, sm_scale, causal, n_kv):
+    kv_idx = pl.program_id(3)
+    q_idx = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = jnp.exp(s - lse)
+        mask = None
+        if causal:
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1) + kv_idx * block_kv
+            mask = cols <= rows
+        if mask_ref is not None:
+            kvm = jnp.broadcast_to(
+                (mask_ref[0] != 0)[None, :], (block_q, block_kv))
+            mask = kvm if mask is None else (mask & kvm)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - di) * sm_scale).astype(k.dtype)
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _flush():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def _flash(q, k, v, kv_mask, causal, sm_scale, block_q, block_kv,
+           interpret):
+    o, _ = _fwd(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+                block_q=block_q, block_kv=block_kv, interpret=interpret)
+    return o
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, sm_scale, block_q, block_kv,
+               interpret):
+    o, lse = _fwd(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
+                  block_q=block_q, block_kv=block_kv, interpret=interpret)
+    return o, (q, k, v, kv_mask, o, lse)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
+    q, k, v, kv_mask, o, lse = res
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bq = _blocks(Sq, block_q, "flash_attention q")
+    bkv = _blocks(Skv, block_kv, "flash_attention kv")
+    n_q, n_kv = Sq // bq, Skv // bkv
+
+    # di = rowsum(o * do), lane-replicated so backward tiles load it with
+    # the Q dimension on sublanes (no in-kernel transpose)
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (B, H, Sq, LANES))
+
+    common_in = [q, k, v, do, lse, di]
+
+    def specs(q_map, kv_map):
+        return [
+            pl.BlockSpec((1, 1, bq, D), q_map),      # q
+            pl.BlockSpec((1, 1, bkv, D), kv_map),    # k
+            pl.BlockSpec((1, 1, bkv, D), kv_map),    # v
+            pl.BlockSpec((1, 1, bq, D), q_map),      # do
+            pl.BlockSpec((1, 1, bq, LANES), q_map),  # lse
+            pl.BlockSpec((1, 1, bq, LANES), q_map),  # di
+        ]
+
+    # --- dK/dV: grid (B, H, n_kv, n_q), q innermost ---
+    dkv_specs = specs(
+        q_map=lambda b, h, kv, q_: (b, h, q_, 0),
+        kv_map=lambda b, h, kv, q_: (b, h, kv, 0),
+    )
+    dkv_args = list(common_in)
+    if kv_mask is not None:
+        dkv_specs.append(
+            pl.BlockSpec((1, bkv), lambda b, h, kv, q_: (b, kv)))
+        dkv_args.append(kv_mask.astype(jnp.int32))
+
+        def dkv_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r, dk_r, dv_r,
+                       dks, dvs):
+            return _bwd_dkv_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r,
+                                   dk_r, dv_r, dks, dvs, sm_scale=sm_scale,
+                                   causal=causal, n_q=n_q)
+    else:
+        def dkv_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, dk_r, dv_r,
+                       dks, dvs):
+            return _bwd_dkv_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, None,
+                                   dk_r, dv_r, dks, dvs, sm_scale=sm_scale,
+                                   causal=causal, n_q=n_q)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B, H, n_kv, n_q),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv, D), lambda b, h, kv, q_: (b, h, kv, 0)),
+            pl.BlockSpec((1, 1, bkv, D), lambda b, h, kv, q_: (b, h, kv, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, D), jnp.float32),
+            pltpu.VMEM((bkv, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dkv_args)
+
+    # --- dQ: grid (B, H, n_q, n_kv), kv innermost ---
+    dq_specs = specs(
+        q_map=lambda b, h, q_, kv: (b, h, q_, 0),
+        kv_map=lambda b, h, q_, kv: (b, h, kv, 0),
+    )
+    dq_args = list(common_in)
+    if kv_mask is not None:
+        dq_specs.append(
+            pl.BlockSpec((1, bkv), lambda b, h, q_, kv: (b, kv)))
+        dq_args.append(kv_mask.astype(jnp.int32))
+
+        def dq_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r, dq_r, dqs):
+            return _bwd_dq_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r,
+                                  dq_r, dqs, sm_scale=sm_scale,
+                                  causal=causal, n_kv=n_kv)
+    else:
+        def dq_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, dq_r, dqs):
+            return _bwd_dq_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, None,
+                                  dq_r, dqs, sm_scale=sm_scale,
+                                  causal=causal, n_kv=n_kv)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B, H, n_q, n_kv),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda b, h, q_, kv: (b, h, q_, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dq_args)
+
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, kv_mask=None, *, causal=False, sm_scale=None,
+                    block_q=128, block_kv=128, interpret=None):
+    """Tiled self-attention: ``softmax(q k^T * sm_scale) v`` without ever
+    materializing the score matrix.
+
+    Args:
+      q, k, v: ``(batch, heads, seq, head_dim)`` arrays (bf16 or fp32).
+      kv_mask: optional ``(batch, kv_seq)`` bool — True where keys/values
+        are valid (padding mask). Query rows are NOT masked (see module
+        docstring).
+      causal: decoder-style lower-triangular masking; tiles entirely above
+        the diagonal are skipped.
+      sm_scale: score scale; default ``1/sqrt(head_dim)``.
+      block_q / block_kv: tile sizes (clamped to the sequence length; the
+        sequence must divide by them).
+      interpret: force Pallas interpret mode (default: auto — interpret on
+        non-TPU backends).
+
+    Returns ``(batch, heads, seq, head_dim)`` with q's dtype. Reverse-mode
+    differentiable (custom VJP); no forward-mode (see module docstring).
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if interpret is None:
+        interpret = _interpret()
+    return _flash(q, k, v, kv_mask, causal, float(sm_scale), int(block_q),
+                  int(block_kv), bool(interpret))
+
+
+def reference_attention(q, k, v, kv_mask=None, *, causal=False,
+                        sm_scale=None):
+    """Plain einsum attention with the same mask semantics — the numeric
+    oracle for the kernel tests and the non-flash fallback."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    mask = None
+    Sq, Skv = q.shape[2], k.shape[2]
+    if causal:
+        mask = jnp.tril(jnp.ones((Sq, Skv), bool))[None, None]
+    if kv_mask is not None:
+        kvm = kv_mask[:, None, None, :].astype(bool)
+        mask = kvm if mask is None else (mask & kvm)
+    if mask is not None:
+        s = jnp.where(mask, s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)

@@ -51,9 +51,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
     """Shard the leading (batch) axis; replacement for the reference's
-    ``DistributedBatchSampler`` (``betty/patch/data_loader.py:7-61``)."""
+    ``DistributedBatchSampler`` (``betty/patch/data_loader.py:7-61``).
+
+    Default axis: ``("dcn", "dp")`` when the mesh has a ``dcn`` (multi-
+    slice) axis, else ``"dp"``. Traffic placement: the batch is the ONLY
+    tensor that should span ``dcn`` — gradient/hypergradient all-reduces
+    then decompose hierarchically (fast ICI reduction within each slice, a
+    single slow DCN reduction across slices), while FSDP/ZeRO/TP parameter
+    gathers stay on intra-slice axes (``dp``/``mdl``), never crossing DCN.
+    """
+    if axis is None:
+        axes = tuple(a for a in ("dcn", "dp") if a in mesh.shape)
+        axis = axes if axes else "dp"
     return NamedSharding(mesh, P(axis))
 
 
@@ -184,6 +195,80 @@ def tp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
     )
 
 
+def _pp_rules(state, mesh: Mesh):
+    """One-liner ``strategy="pp"``: stage-stacked block parameters (leading
+    depth axis, ``params["blocks"]`` — models.make_pipelined_transformer's
+    layout) sharded over the ``pp`` mesh axis; everything else replicated.
+    Loud errors when the module or mesh doesn't fit the layout."""
+    if "pp" in mesh.shape:
+        axis = "pp"
+    else:
+        raise ValueError(
+            "strategy='pp' needs a mesh with a 'pp' axis — pass "
+            "EngineConfig(mesh_shape=(('dp', N), ('pp', M))) "
+            f"(got axes {tuple(mesh.shape)})"
+        )
+    params = state.get("params")
+    if not (isinstance(params, dict) and "blocks" in params):
+        return None  # not a pipelined module: replicate (engine validates
+        # that at least one problem in the program matched)
+    size = mesh.shape[axis]
+    for leaf in jax.tree_util.tree_leaves(params["blocks"]):
+        if leaf.shape[0] % size != 0:
+            raise ValueError(
+                f"strategy='pp': stacked depth {leaf.shape[0]} is not "
+                f"divisible by the pp axis size {size}"
+            )
+    return ((r"^blocks", (axis,)), (r".*", ()))
+
+
+def _ep_rules(state, mesh: Mesh):
+    """One-liner ``strategy="ep"``: expert-stacked MoE parameters (leading
+    num_experts axis under a ``moe`` subtree — models/moe.py's layout)
+    sharded over the ``ep`` mesh axis; router and everything else
+    replicated."""
+    if "ep" not in mesh.shape:
+        raise ValueError(
+            "strategy='ep' needs a mesh with an 'ep' axis — pass "
+            "EngineConfig(mesh_shape=(('dp', N), ('ep', M))) "
+            f"(got axes {tuple(mesh.shape)})"
+        )
+    size = mesh.shape["ep"]
+    pat = re.compile(r"(^|/)moe/(w[0-9]+|b[0-9]+)$")
+    matched = [
+        (p, x) for p, x in _iter_path_leaves(state.get("params", {}))
+        if pat.search(p)
+    ]
+    if not matched:
+        return None  # not an MoE module: replicate (engine validates that
+        # at least one problem in the program matched)
+    for p, x in matched:
+        if x.shape[0] % size != 0:
+            raise ValueError(
+                f"strategy='ep': {p} has {x.shape[0]} experts, not "
+                f"divisible by the ep axis size {size}"
+            )
+    return ((r"(^|/)moe/(w[0-9]+|b[0-9]+)$", ("ep",)), (r".*", ()))
+
+
+def _iter_path_leaves(tree):
+    for path, x in jax.tree_util.tree_leaves_with_path(tree):
+        if hasattr(x, "shape"):
+            yield _path_str(path), x
+
+
+def strategy_matches(strategy: str, state) -> bool:
+    """Whether a problem's state has the module layout ``strategy`` shards
+    (pp: stacked ``params["blocks"]``; ep: ``moe/*`` expert-stacked)."""
+    params = state.get("params")
+    if strategy == "pp":
+        return isinstance(params, dict) and "blocks" in params
+    if strategy == "ep":
+        pat = re.compile(r"(^|/)moe/(w[0-9]+|b[0-9]+)$")
+        return any(pat.search(p) for p, _ in _iter_path_leaves(params or {}))
+    return True
+
+
 def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
     """Place one problem's state pytree according to the strategy.
 
@@ -192,6 +277,13 @@ def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
     fsdp:  params, grad_acc, last_grad and opt_state FSDP-sharded.
     tp:    params/grads/opt_state sharded by Megatron tensor-parallel rules
            (plus ``rules`` overrides) over the model axis.
+    pp:    stage-stacked ``params["blocks"]`` sharded over the ``pp`` axis
+           (GPipe stages resident per device); rest replicated.
+    ep:    expert-stacked MoE weights sharded over the ``ep`` axis; rest
+           replicated.
+    sp:    parameters replicated (sequence-parallel activation sharding
+           happens inside modules built with ``seq_axis=``; see
+           models.make_pipelined_transformer).
     """
     rep = replicated(mesh)
 
@@ -199,8 +291,23 @@ def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
         return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
     out = dict(state)
+    if strategy == "sp":
+        if "sp" not in mesh.shape:
+            raise ValueError(
+                "strategy='sp' needs a mesh with an 'sp' axis — pass "
+                "EngineConfig(mesh_shape=(('dp', N), ('sp', M))) and build "
+                "the module with seq_axis='sp' "
+                f"(got axes {tuple(mesh.shape)})"
+            )
+        return jax.device_put(state, rep)
     if strategy in ("dp", "distributed"):
         return jax.device_put(state, rep)
+    if strategy == "pp":
+        rules = _pp_rules(state, mesh)
+        strategy = "tp"
+    elif strategy == "ep":
+        rules = _ep_rules(state, mesh)
+        strategy = "tp"
     if strategy == "zero":
         for k in ("params", "extra", "grad_acc", "last_grad", "sched_step"):
             if k in out:

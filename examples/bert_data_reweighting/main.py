@@ -226,11 +226,14 @@ def build_engine(args):
         classifier_mod = from_hf_flax(hf)
     else:
         if args.model == "large":
-            model = roberta_large_config(max_len=args.seq_len)
+            model = roberta_large_config(max_len=args.seq_len,
+                                         use_flash=args.flash,
+                                         remat=args.remat)
         else:
             model = TransformerClassifier(
                 vocab_size=vocab, max_len=args.seq_len, dim=args.dim,
-                depth=args.depth, heads=args.heads,
+                depth=args.depth, heads=args.heads, use_flash=args.flash,
+                remat=args.remat,
             )
         sample = jnp.zeros((args.batch_size, args.seq_len), jnp.int32)
         classifier_mod = from_flax(model, sample, rng=jax.random.PRNGKey(0),
@@ -304,6 +307,12 @@ def parse_args(argv=None):
     p.add_argument("--train_iters", type=int, default=100)
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
+    p.add_argument("--flash", action="store_true",
+                   help="blockwise Pallas attention (reverse-mode solvers "
+                        "only: darts/sama)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder blocks in the backward "
+                        "(jax.checkpoint) to cut activation HBM")
     p.add_argument("--compile_blocks", action="store_true")
     p.add_argument("--device_data", action="store_true")
     # --- real-data options ---

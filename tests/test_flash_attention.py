@@ -1,0 +1,191 @@
+"""Flash-attention kernel numerics vs the plain einsum oracle.
+
+VERDICT r2 #2: the fused-attention path must be numerically proven
+(fp32 <=1e-5, bf16 <=1e-2) for forward AND gradients, with and without
+masking, before it can carry the north-star benchmark.
+
+Runs in Pallas interpret mode on CPU; the same code compiles via Mosaic
+on TPU (exercised by bench.py's flash_attention entry).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betty_tpu.ops.flash_attention import (
+    flash_attention,
+    reference_attention,
+)
+
+
+def _rand(shape, dtype, seed):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
+
+
+def _max_err(a, b):
+    return float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                 - b.astype(jnp.float32))))
+
+
+CASES = [
+    # (B, H, S, D, dtype, tol_fwd, tol_bwd)
+    (2, 3, 256, 64, jnp.float32, 1e-5, 1e-4),
+    (2, 2, 256, 128, jnp.float32, 1e-5, 1e-4),
+    (2, 2, 256, 64, jnp.bfloat16, 1e-2, 2e-2),
+]
+
+
+@pytest.mark.parametrize("B,H,S,D,dtype,tf,tb", CASES)
+def test_forward_matches_reference(B, H, S, D, dtype, tf, tb):
+    q = _rand((B, H, S, D), dtype, 0)
+    k = _rand((B, H, S, D), dtype, 1)
+    v = _rand((B, H, S, D), dtype, 2)
+    out = flash_attention(q, k, v)
+    ref = reference_attention(q, k, v)
+    assert _max_err(out, ref) < tf
+
+
+@pytest.mark.parametrize("B,H,S,D,dtype,tf,tb", CASES[:1])
+def test_gradients_match_reference(B, H, S, D, dtype, tf, tb):
+    q = _rand((B, H, S, D), dtype, 0)
+    k = _rand((B, H, S, D), dtype, 1)
+    v = _rand((B, H, S, D), dtype, 2)
+    w = _rand((B, H, S, D), dtype, 3)  # fixed cotangent direction
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        err = _max_err(a, b)
+        # grads scale with S; normalize tolerance by grad magnitude
+        scale = max(1.0, float(jnp.max(jnp.abs(b.astype(jnp.float32)))))
+        assert err / scale < tb, f"d{name}: {err} (scale {scale})"
+
+
+def test_kv_mask_forward_and_grads():
+    B, H, S, D = 2, 2, 256, 64
+    q = _rand((B, H, S, D), jnp.float32, 0)
+    k = _rand((B, H, S, D), jnp.float32, 1)
+    v = _rand((B, H, S, D), jnp.float32, 2)
+    rng = np.random.RandomState(3)
+    kv_mask = jnp.asarray(rng.rand(B, S) > 0.3)
+    # ensure at least one valid key per batch
+    kv_mask = kv_mask.at[:, 0].set(True)
+
+    out = flash_attention(q, k, v, kv_mask)
+    ref = reference_attention(q, k, v, kv_mask)
+    assert _max_err(out, ref) < 1e-5
+
+    w = _rand((B, H, S, D), jnp.float32, 4)
+    gf = jax.grad(lambda *a: jnp.sum(flash_attention(*a, kv_mask) * w),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(reference_attention(*a, kv_mask) * w),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        assert _max_err(a, b) / scale < 1e-4, name
+
+
+def test_causal_forward_and_grads():
+    B, H, S, D = 1, 2, 256, 64
+    q = _rand((B, H, S, D), jnp.float32, 0)
+    k = _rand((B, H, S, D), jnp.float32, 1)
+    v = _rand((B, H, S, D), jnp.float32, 2)
+
+    out = flash_attention(q, k, v, causal=True)
+    ref = reference_attention(q, k, v, causal=True)
+    assert _max_err(out, ref) < 1e-5
+
+    w = _rand((B, H, S, D), jnp.float32, 4)
+    gf = jax.grad(lambda *a: jnp.sum(
+        flash_attention(*a, causal=True) * w), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(
+        reference_attention(*a, causal=True) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        assert _max_err(a, b) / scale < 1e-4, name
+
+
+def test_fully_masked_row_is_finite():
+    """A batch row whose keys are ALL masked must produce zeros (the l==0
+    guard), not NaN."""
+    B, H, S, D = 2, 1, 128, 64
+    q = _rand((B, H, S, D), jnp.float32, 0)
+    k = _rand((B, H, S, D), jnp.float32, 1)
+    v = _rand((B, H, S, D), jnp.float32, 2)
+    kv_mask = jnp.ones((B, S), bool).at[1, :].set(False)
+    out = flash_attention(q, k, v, kv_mask)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.max(jnp.abs(out[1]))) == 0.0
+
+
+def test_rectangular_and_blocks():
+    """kv_seq != q_seq and non-default block sizes."""
+    B, H, Sq, Skv, D = 1, 2, 128, 384, 64
+    q = _rand((B, H, Sq, D), jnp.float32, 0)
+    k = _rand((B, H, Skv, D), jnp.float32, 1)
+    v = _rand((B, H, Skv, D), jnp.float32, 2)
+    out = flash_attention(q, k, v, block_q=64, block_kv=128)
+    ref = reference_attention(q, k, v)
+    assert _max_err(out, ref) < 1e-5
+
+
+def test_model_level_flash_parity():
+    """TransformerClassifier(use_flash=True) == use_flash=False given the
+    SAME weights (FlashSelfAttention mimics nn.MultiHeadDotProductAttention's
+    parameter structure), at unpadded positions, eval mode."""
+    from betty_tpu.models.transformer import TransformerClassifier
+
+    plain = TransformerClassifier(vocab_size=50, max_len=128, dim=128,
+                                  depth=2, heads=2, dropout=0.0)
+    flash = TransformerClassifier(vocab_size=50, max_len=128, dim=128,
+                                  depth=2, heads=2, dropout=0.0,
+                                  use_flash=True)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(2, 50, (4, 128)).astype(np.int32))
+    variables = plain.init(jax.random.PRNGKey(0), ids, train=False)
+    out_p = plain.apply(variables, ids, train=False)
+    out_f = flash.apply(variables, ids, train=False)
+    assert _max_err(out_p, out_f) < 1e-4
+
+    # gradient path too (sum-of-logits loss)
+    gp = jax.grad(lambda v: jnp.sum(plain.apply(v, ids, train=False)))(
+        variables)["params"]
+    gf = jax.grad(lambda v: jnp.sum(flash.apply(v, ids, train=False)))(
+        variables)["params"]
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gp),
+               key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(gf),
+               key=lambda kv: str(kv[0])),
+    ):
+        assert str(ka) == str(kb)
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        assert _max_err(a, b) / scale < 1e-4, ka
+
+
+def test_model_level_flash_parity_padded():
+    """With padded inputs the two paths agree because padded QUERY rows are
+    excluded by the masked mean pool (kv-side masking is exact)."""
+    from betty_tpu.models.transformer import TransformerClassifier
+
+    plain = TransformerClassifier(vocab_size=50, max_len=128, dim=128,
+                                  depth=2, heads=2, dropout=0.0)
+    flash = TransformerClassifier(vocab_size=50, max_len=128, dim=128,
+                                  depth=2, heads=2, dropout=0.0,
+                                  use_flash=True)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(2, 50, (4, 128)).astype(np.int32)
+    ids[:, 96:] = 1  # pad_id
+    ids = jnp.asarray(ids)
+    variables = plain.init(jax.random.PRNGKey(0), ids, train=False)
+    out_p = plain.apply(variables, ids, train=False)
+    out_f = flash.apply(variables, ids, train=False)
+    assert _max_err(out_p, out_f) < 1e-4
