@@ -260,9 +260,13 @@ def bench_handwritten():
 
 
 def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50):
-    """Wall-clock (incl. compile) to reach target clean-test accuracy on the
+    """Wall-clock (incl. compile) to reach target clean-test accuracy on a
     reweighting-under-40%-label-noise workload, cg solver (BASELINE.md's
-    named metric, CI-runnable form)."""
+    named metric). DATA: synthetic separable features by default (this
+    environment has no dataset egress) — the JSON labels it so. Setting
+    ``BETTY_CIFAR_NPZ=/path/to/cifar.npz`` (x_train/y_train/x_test/y_test
+    image arrays) switches to the real-CIFAR form of the metric with a
+    ResNet-32 classifier."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -276,6 +280,12 @@ def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50):
 
     DIM, N = 32, 2048
     rng = np.random.RandomState(0)
+
+    cifar = os.environ.get("BETTY_CIFAR_NPZ")
+    if cifar and os.path.exists(cifar):
+        return _bench_wallclock_cifar(cifar, target_acc=0.85,
+                                      max_iters=max_iters,
+                                      check_every=check_every)
 
     def make_clean(n, seed):
         r = np.random.RandomState(seed)
@@ -350,6 +360,50 @@ def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50):
         "final_acc": round(acc(), 4),
         "solver": "cg",
         "includes_compile": True,
+        "data": "synthetic-separable (no dataset egress here; set "
+                "BETTY_CIFAR_NPZ for the real-CIFAR form)",
+    }
+
+
+def _bench_wallclock_cifar(npz_path, target_acc, max_iters, check_every):
+    """Real-CIFAR wall-clock-to-accuracy: the learning_to_reweight example
+    under 40% label noise with a ResNet-32, via its real-dataset path."""
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"
+                           / "learning_to_reweight"))
+    from main import build_engine, parse_args  # noqa: E402
+
+    from betty_tpu.compile import BlockRunner
+
+    t_start = time.perf_counter()
+    args = parse_args([
+        "--train_iters", str(max_iters), "--batch_size", "128",
+        "--data-dir", npz_path, "--corruption", "0.4",
+        "--solver", "cg", "--cg_iterations", "3", "--cg_alpha", "1.0",
+        "--device_data",
+    ])
+    engine = build_engine(args)
+    engine.train()
+    runner = BlockRunner(engine, scan_periods=check_every)
+    steps, reached = 0, None
+    while steps < max_iters:
+        runner.run_block()
+        steps += check_every
+        stats = engine.validation() or {}
+        acc = stats.get("test_acc", stats.get("acc", 0.0)) / 100.0
+        if acc >= target_acc:
+            reached = steps
+            break
+    return {
+        "target_acc": target_acc,
+        "seconds": round(time.perf_counter() - t_start, 2),
+        "meta_steps": reached if reached is not None else -1,
+        "final_acc": round(acc, 4),
+        "solver": "cg",
+        "includes_compile": True,
+        "data": f"real CIFAR ({npz_path})",
     }
 
 
@@ -528,7 +582,8 @@ def transformer_fwd_flops(n_matmul_params, batch, seq, heads, head_dim,
             + layers * 4.0 * batch * heads * seq * seq * head_dim)
 
 
-def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3):
+def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3,
+                             remat=True):
     """THE north-star scale (BASELINE.md): SAMA data reweighting with a
     RoBERTa-large-sized encoder (355M params, 24L/1024d/16h) on the real
     chip — bf16, unroll 5, compiled-block mode, device-resident data.
@@ -565,12 +620,23 @@ def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3):
     ]
     if use_flash:
         argv.append("--flash")
-    engine = mod.build_engine(mod.parse_args(argv))
-    engine.train()
-    runner = BlockRunner(engine, scan_periods=K)
-    t0 = time.perf_counter()
-    runner.run_block()
-    _sync(engine)
+    if remat:
+        # per-block remat + state donation: the 355M run needs the
+        # headroom (without donation the dispatch holds input AND output
+        # copies of the 5.7GB state) — and must survive on a shared chip
+        # with fluctuating free memory
+        argv.append("--remat")
+        argv.append("--donate")
+    try:
+        engine = mod.build_engine(mod.parse_args(argv))
+        engine.train()
+        runner = BlockRunner(engine, scan_periods=K)
+        t0 = time.perf_counter()
+        runner.run_block()
+        _sync(engine)
+    except Exception as e:  # pragma: no cover — shared-chip OOM etc.
+        return {"error": f"{type(e).__name__}: {str(e)[:200]}",
+                "model": "roberta-large-scale (355M)"}
     compile_s = time.perf_counter() - t0
 
     rates = []
@@ -670,13 +736,24 @@ def bench_sama_transformer():
             runner.run_block()
         _sync(engine)
         rates.append(4 * K / (time.perf_counter() - t0))
-    return {
-        "meta_periods_per_sec_median": round(statistics.median(rates), 3),
+    med = statistics.median(rates)
+    out = {
+        "meta_periods_per_sec_median": round(med, 3),
         "meta_periods_per_sec_peak": round(max(rates), 3),
         "unroll_steps": 5,
         "precision": "bf16",
         "solver": "sama",
     }
+    flops = block_cost_flops(runner, K)
+    peak, _ = peak_flops()
+    if flops:
+        out["xla_cost_gflops_per_meta_period"] = round(flops / 1e9, 1)
+        if peak:
+            out["mfu_xla_cost"] = round(flops * med / peak, 4)
+    hbm = hbm_peak_bytes()
+    if hbm:
+        out["hbm_peak_bytes"] = hbm
+    return out
 
 
 def bench_reference():

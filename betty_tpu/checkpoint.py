@@ -58,7 +58,12 @@ def _to_host(tree):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             from jax.experimental import multihost_utils
 
-            return np.asarray(multihost_utils.process_allgather(x))
+            # tiled=True: reassemble the GLOBAL value (stacking per-process
+            # shards is rejected for non-fully-addressable arrays — caught
+            # by the 4-process fsdp test)
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
         return jax.device_get(x)
 
     return jax.tree_util.tree_map(get, tree)
@@ -96,20 +101,23 @@ def save_engine_state(engine, path: str):
             )
             states[f"__unroll_batches__{p.name}"] = stacked
             meta_extra.setdefault("unroll_recorded", {})[p.name] = len(batches)
-    # all processes participated in the collective gathers above; only one
-    # writes (shared-filesystem assumption for multi-host, as with torch.save)
-    if jax.process_index() == 0:
-        if _HAS_ORBAX:
-            ckptr = ocp.StandardCheckpointer()
-            ckptr.save(os.path.join(path, f"step_{engine.global_step}"),
-                       states, force=True)
-            ckptr.wait_until_finished()
-        else:  # numpy fallback
-            flat, _ = jax.tree_util.tree_flatten_with_path(states)
-            np.savez(
-                os.path.join(path, f"step_{engine.global_step}.npz"),
-                **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
-            )
+    # all processes participated in the collective gathers above
+    if _HAS_ORBAX:
+        # EVERY process calls orbax: its save path synchronizes internally
+        # (a rank-0-only call leaves peers racing into the program's next
+        # collective and desyncs the comm layer — caught by the
+        # multi-process checkpoint test); orbax writes from the primary
+        # host only (shared-filesystem assumption, as with torch.save)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, f"step_{engine.global_step}"),
+                   states, force=True)
+        ckptr.wait_until_finished()
+    elif jax.process_index() == 0:  # numpy fallback: no internal barriers
+        flat, _ = jax.tree_util.tree_flatten_with_path(states)
+        np.savez(
+            os.path.join(path, f"step_{engine.global_step}.npz"),
+            **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
+        )
     if jax.process_index() == 0:
         # atomic: a preemption mid-write must not brick auto_resume with a
         # truncated meta.json (the restart would crash in json.load forever)
@@ -117,6 +125,12 @@ def save_engine_state(engine, path: str):
         with open(tmp, "w") as f:
             json.dump({**_host_meta(engine), **meta_extra}, f)
         os.replace(tmp, os.path.join(path, "meta.json"))
+    if jax.process_count() > 1:
+        # peers must not read meta.json (or re-enter training collectives)
+        # before the writer finishes
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("betty_tpu_ckpt_meta")
 
 
 def restore_engine_state(engine, path: str):

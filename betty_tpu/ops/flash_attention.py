@@ -483,7 +483,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, kv_mask=None, *, causal=False, sm_scale=None,
-                    block_q=128, block_kv=128, interpret=None):
+                    block_q=None, block_kv=None, interpret=None):
     """Tiled self-attention: ``softmax(q k^T * sm_scale) v`` without ever
     materializing the score matrix.
 
@@ -496,7 +496,9 @@ def flash_attention(q, k, v, kv_mask=None, *, causal=False, sm_scale=None,
         the diagonal are skipped.
       sm_scale: score scale; default ``1/sqrt(head_dim)``.
       block_q / block_kv: tile sizes (clamped to the sequence length; the
-        sequence must divide by them).
+        sequence must divide by them). Default 512/512 — measured best on
+        v5e at seq>=512 (1.6x over XLA einsum on fwd+bwd; the block sweep
+        lives in bench.py's flash_attention entry).
       interpret: force Pallas interpret mode (default: auto — interpret on
         non-TPU backends).
 
@@ -505,6 +507,10 @@ def flash_attention(q, k, v, kv_mask=None, *, causal=False, sm_scale=None,
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if block_q is None:
+        block_q = min(512, q.shape[2])
+    if block_kv is None:
+        block_kv = min(512, k.shape[2])
     if interpret is None:
         interpret = _interpret()
     return _flash(q, k, v, kv_mask, causal, float(sm_scale), int(block_q),

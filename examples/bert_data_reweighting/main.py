@@ -215,6 +215,12 @@ def build_engine(args):
             args.meta_size, args.seq_len, vocab, seed=1, imbalance=1
         )
 
+    if args.flash and args.hypergradient in ("cg", "neumann"):
+        raise ValueError(
+            "--flash uses a custom-VJP Pallas kernel (reverse-mode only); "
+            "CG/Neumann HVPs differentiate through the gradient and need "
+            "the plain einsum attention — drop --flash or use darts/sama"
+        )
     if args.hf_model:
         # a local HuggingFace checkpoint directory (no download egress):
         # the reference's actual model family (roberta-large fine-tune)
@@ -264,6 +270,7 @@ def build_engine(args):
         config=EngineConfig(
             train_iters=args.train_iters, valid_step=args.valid_step,
             strategy=args.strategy, compile_blocks=args.compile_blocks,
+            donate_state=args.donate,
             mesh_shape=tuple(
                 (n, int(s)) for n, s in
                 (ax.split(":") for ax in args.mesh.split(","))
@@ -310,6 +317,10 @@ def parse_args(argv=None):
     p.add_argument("--flash", action="store_true",
                    help="blockwise Pallas attention (reverse-mode solvers "
                         "only: darts/sama)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate state buffers to the jitted update "
+                        "(in-place on device: halves state HBM — required "
+                        "headroom for --model large on a 16GB chip)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks in the backward "
                         "(jax.checkpoint) to cut activation HBM")

@@ -40,14 +40,31 @@ def jacobian_reg(loss_fn, x, rng):
     return jvp**2
 
 
-def curvature_reg(loss_fn, x, rng, h=1e-2):
-    """Finite-difference curvature along a random direction:
-    ‖∇L(x+hu) − ∇L(x)‖ (DSRNA's Hessian-eigenvalue proxy)."""
-    u = jax.random.normal(rng, x.shape)
-    u = u / (jnp.sqrt(jnp.sum(u**2)) + 1e-12)
-    g0 = jax.grad(loss_fn)(x)
-    g1 = jax.grad(loss_fn)(x + h * u)
-    return jnp.sqrt(jnp.sum((g1 - g0) ** 2)) / h
+def curvature_reg(loss_fn, x, rng, iters=5):
+    """Largest eigenvalue of the INPUT Hessian by power iteration over
+    Hessian-vector products — the DSRNA curvature regularizer (reference
+    ``examples/robust_nas/hessianflow`` ``get_eigen``: normalize v, iterate
+    v <- Hv/||Hv||, eigenvalue = <v, Hv>). HVPs are forward-over-reverse
+    (``jax.jvp`` of ``jax.grad``), so the whole estimate stays inside the
+    jitted step — no external Hessian library.
+
+    The returned Rayleigh quotient is differentiable w.r.t. the network
+    parameters THROUGH H; the converged eigenvector is treated as a
+    constant (``stop_gradient``), which is exact at convergence by
+    eigenvector stationarity and keeps the backward graph second-order."""
+
+    def hvp(v):
+        return jax.jvp(jax.grad(loss_fn), (x,), (v,))[1]
+
+    v = jax.random.normal(rng, x.shape)
+    v = v / (jnp.sqrt(jnp.sum(v**2)) + 1e-12)
+
+    def body(_, v):
+        hv = hvp(v)
+        return hv / (jnp.sqrt(jnp.sum(hv**2)) + 1e-12)
+
+    v = jax.lax.stop_gradient(jax.lax.fori_loop(0, iters, body, v))
+    return jnp.sum(v * hvp(v))
 
 
 class Arch(ImplicitProblem):

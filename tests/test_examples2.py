@@ -112,20 +112,44 @@ def test_robust_nas():
 
 
 def test_iuc_three_level():
+    """The IUC 3-level program with a REAL seq2seq captioner: teacher
+    forcing, in-jit greedy pseudo-captioning, architecture-mixed encoder
+    (VERDICT r2 #8). Asserts the graph shape AND that gradients flow into
+    every level's parameters."""
+    import jax
+
     mod = load("nas_augmented_image_captioning_3_level")
-    args = type("A", (), dict(
-        n=128, batch=16, seq_len=8, vocab=64, classes=4, dim=32, depth=1,
-        heads=2, unroll1=2, unroll2=2, train_iters=8, log_step=-1,
-    ))
+    args = mod.parse_args([
+        "--n", "128", "--batch", "16", "--seq_len", "8", "--vocab", "32",
+        "--feat_dim", "16", "--dim", "32", "--depth", "1", "--heads", "2",
+        "--unroll1", "2", "--unroll2", "2", "--train_iters", "8",
+    ])
     engine = mod.build_engine(args)
+    before = {
+        name: np.concatenate([
+            np.asarray(x).ravel()
+            for x in jax.tree_util.tree_leaves(engine.states[name]["params"])
+        ])
+        for name in ("outer", "inner2", "inner1")
+    }
     engine.run()
     assert engine.inner1.count == 8
     assert engine.inner2.count == 4
     assert engine.outer.count == 2
     assert len(engine.outer.paths) == 3
+    # gradients flowed into every level: captioner (teacher-forced CE),
+    # learner (pseudo-caption fit), and the architecture alphas
+    # (hypergradient through both paths)
+    for name in ("outer", "inner2", "inner1"):
+        after = np.concatenate([
+            np.asarray(x).ravel()
+            for x in jax.tree_util.tree_leaves(engine.states[name]["params"])
+        ])
+        assert not np.allclose(before[name], after), f"{name} params frozen"
     engine.eval()  # dropout off, as Engine.do_validation does
     stats = engine.validation()
     assert 0.0 <= stats["caption_acc"] <= 100.0
+    assert 0.0 <= stats["caption_exact"] <= 100.0
 
 
 def test_tutorial_model_parallelism_runs():
@@ -199,3 +223,31 @@ def test_sanas_budget_receives_data_gradient():
     # (0.1 * sigmoid(eps)/dim); a data-dependent robust-gap contribution
     # makes per-feature gradients differ
     assert np.std(g_flat) > 1e-9, "eps gradient is data-independent"
+
+
+def test_robust_nas_power_iteration_curvature():
+    """The DSRNA curvature regularizer is a REAL max-eigenvalue estimate
+    (power iteration over jvp-of-grad HVPs, reference hessianflow
+    get_eigen), and its gradient flows through the Hessian."""
+    import jax
+    import jax.numpy as jnp
+
+    mod = load("robust_nas")
+    rng = np.random.RandomState(0)
+    M = rng.randn(12, 12).astype(np.float32)
+    A = jnp.asarray(M @ M.T)  # PSD: top eigenvalue dominates strictly
+    lam_true = float(np.max(np.linalg.eigvalsh(np.asarray(A))))
+    x = jnp.asarray(rng.randn(12).astype(np.float32))
+
+    lam = float(mod.curvature_reg(lambda z: 0.5 * z @ A @ z, x,
+                                  jax.random.PRNGKey(0), iters=50))
+    assert abs(lam - lam_true) / lam_true < 0.02, (lam, lam_true)
+
+    # d/dtheta lambda_max(theta * A) = lambda_max(A): the regularizer's
+    # gradient must flow through H (third-order overall), not be zero
+    def lam_of(theta):
+        return mod.curvature_reg(lambda z: 0.5 * theta * (z @ A @ z), x,
+                                 jax.random.PRNGKey(0), iters=30)
+
+    g = float(jax.grad(lam_of)(1.0))
+    assert abs(g - lam_true) / lam_true < 0.02, (g, lam_true)
