@@ -58,15 +58,23 @@ def peak_flops():
     return None, kind
 
 
-def _sync(engine):
+def device_sync(tree):
+    """Force completion of the computation producing ``tree`` and return a
+    scalar. MEASURED on this runtime (axon tunnel): jax.block_until_ready
+    returns IMMEDIATELY without waiting, and bulk host transfers run at
+    ~1 MB/s — so honest timing requires a DEPENDENT readback of a tiny
+    value: an on-device scalar reduction of the first leaf, then a 4-byte
+    transfer."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    return float(
-        np.asarray(
-            jax.tree_util.tree_leaves(engine.states["classifier"]["params"])[0]
-        ).ravel()[0]
-    )
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(np.asarray(jnp.sum(jnp.ravel(leaf)[:128].astype(jnp.float32))))
+
+
+def _sync(engine):
+    return device_sync(engine.states["classifier"]["params"])
 
 
 def hbm_peak_bytes():
@@ -143,7 +151,10 @@ def bench_solver(solver, precision="fp32"):
         t1 = time.perf_counter()
         rates.append(n_blocks * K / (t1 - t0))
 
-    flops = block_cost_flops(runner, K)
+    # XLA cost analysis counts the K-period lax.scan BODY once, so the raw
+    # number already ~equals ONE meta-step's flops (unroll=1 here) — do NOT
+    # divide by K (r2's MFU line made that mistake and under-reported ~Kx)
+    flops = block_cost_flops(runner, 1)
     return statistics.median(rates), max(rates), flops
 
 
@@ -245,7 +256,7 @@ def bench_handwritten():
 
     carry = (pc, bs, oc, pm, om)
     carry, _ = run_k(carry, idxs())  # compile
-    jax.tree_util.tree_leaves(carry)[0].block_until_ready()
+    device_sync(carry)
 
     rates = []
     for _ in range(5):
@@ -253,7 +264,7 @@ def bench_handwritten():
         t0 = time.perf_counter()
         for _ in range(n_blocks):
             carry, _ = run_k(carry, idxs())
-        jax.tree_util.tree_leaves(carry)[0].block_until_ready()
+        device_sync(carry)
         t1 = time.perf_counter()
         rates.append(n_blocks * K / (t1 - t0))
     return max(rates)  # best window: least contention-contaminated
@@ -491,11 +502,11 @@ def bench_fused_ops(cg_iterations=10):
                                   (x, y), rng_key)
         )
         r = solve(v)
-        jax.tree_util.tree_leaves(r)[0].block_until_ready()
+        device_sync(r)
         t0 = time.perf_counter()
         for _ in range(8):
             r = solve(v)
-        jax.tree_util.tree_leaves(r)[0].block_until_ready()
+        device_sync(r)
         return (time.perf_counter() - t0) / 8, n_params
 
     plain_s, n_params = timed(False)
@@ -538,11 +549,11 @@ def bench_flash_attention(B=8, H=16, S=512, D=64):
 
     def timeit(f, *a, n=30):
         r = f(*a)
-        jax.block_until_ready(r)
+        device_sync(r)
         t0 = time.perf_counter()
         for _ in range(n):
             r = f(*a)
-        jax.block_until_ready(r)
+        device_sync(r)
         return (time.perf_counter() - t0) / n
 
     def loss(attn):
@@ -582,7 +593,7 @@ def transformer_fwd_flops(n_matmul_params, batch, seq, heads, head_dim,
             + layers * 4.0 * batch * heads * seq * seq * head_dim)
 
 
-def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3,
+def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
                              remat=True):
     """THE north-star scale (BASELINE.md): SAMA data reweighting with a
     RoBERTa-large-sized encoder (355M params, 24L/1024d/16h) on the real
@@ -662,9 +673,13 @@ def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3,
     f_fwd = transformer_fwd_flops(p_mm, BATCH_NS, SEQ, heads=16, head_dim=64,
                                   layers=24)
     # per meta-period: 5 inner fwd+bwd (3 fwd-units each) + SAMA's meta
-    # grad (3) + two perturbed forwards (1 each) = 20 fwd-units
+    # grad (3) + two perturbed forwards (1 each) = 20 fwd-units.
+    # (Algorithmic FLOPs: remat recompute is excluded, per MFU convention.)
     unroll = 5
     f_period = (3 * unroll + 5) * f_fwd
+    # NOTE: XLA's cost analysis counts each lax.scan BODY once (not trip-
+    # count times), so it under-reports the 5-step inner unroll; reported
+    # for transparency, mfu_analytic is the honest number.
     xla_flops = block_cost_flops(runner, K)
 
     peak, kind = peak_flops()
@@ -674,15 +689,14 @@ def bench_sama_roberta_large(use_flash=False, K=4, timed_blocks=3,
         "batch": BATCH_NS, "seq_len": SEQ, "unroll_steps": unroll,
         "precision": "bf16", "solver": "sama",
         "use_flash_attention": bool(use_flash),
+        "remat": bool(remat), "donate_state": bool(remat),
         "meta_periods_per_sec_median": round(med, 3),
         "sec_per_meta_period": round(1.0 / med, 4),
         "first_block_incl_compile_s": round(compile_s, 1),
         "analytic_gflops_per_meta_period": round(f_period / 1e9, 1),
         "mfu_analytic": round(f_period * med / peak, 4) if peak else None,
-        "xla_cost_gflops_per_meta_period":
+        "xla_cost_gflops_per_meta_period_scan_bodies_once":
             round(xla_flops / 1e9, 1) if xla_flops else None,
-        "mfu_xla_cost":
-            round(xla_flops * med / peak, 4) if (xla_flops and peak) else None,
     }
     hbm = hbm_peak_bytes()
     if hbm:
@@ -744,12 +758,26 @@ def bench_sama_transformer():
         "precision": "bf16",
         "solver": "sama",
     }
-    flops = block_cost_flops(runner, K)
+    # analytic MFU (XLA cost analysis counts scan bodies once — useless
+    # for a 5-step unroll): same 20-fwd-unit accounting as the 355M entry
+    import jax
+    import numpy as np
+
+    params = engine.states["classifier"]["params"]
+    emb = sum(
+        int(np.prod(x.shape))
+        for p, x in jax.tree_util.tree_leaves_with_path(params)
+        if "Embed" in str(p) or "pos_embedding" in str(p)
+    )
+    total = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(params))
+    f_fwd = transformer_fwd_flops(total - emb, 32, 128, heads=8, head_dim=32,
+                                  layers=4)
+    f_period = 20 * f_fwd
     peak, _ = peak_flops()
-    if flops:
-        out["xla_cost_gflops_per_meta_period"] = round(flops / 1e9, 1)
-        if peak:
-            out["mfu_xla_cost"] = round(flops * med / peak, 4)
+    out["analytic_gflops_per_meta_period"] = round(f_period / 1e9, 1)
+    if peak:
+        out["mfu_analytic"] = round(f_period * med / peak, 4)
     hbm = hbm_peak_bytes()
     if hbm:
         out["hbm_peak_bytes"] = hbm
@@ -869,7 +897,9 @@ def main():
         "wallclock_to_acc": wallclock,
         "compile_cache_warm_at_start": cache_warm,
         "fused_vector_ops": fused,
+        "flash_attention": flash,
         "sama_transformer": sama_tfm,
+        "sama_roberta_large": northstar,
         "note": "vs_baseline is TPU-vs-reference-on-host-CPU (reference "
                 "publishes no throughput numbers); not hardware-normalized. "
                 "median = sustained, peak = best window on the shared chip.",

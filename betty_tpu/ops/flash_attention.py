@@ -497,8 +497,9 @@ def flash_attention(q, k, v, kv_mask=None, *, causal=False, sm_scale=None,
       sm_scale: score scale; default ``1/sqrt(head_dim)``.
       block_q / block_kv: tile sizes (clamped to the sequence length; the
         sequence must divide by them). Default 512/512 — measured best on
-        v5e at seq>=512 (1.6x over XLA einsum on fwd+bwd; the block sweep
-        lives in bench.py's flash_attention entry).
+        v5e at seq>=512 (2.0x over XLA einsum on the fwd+bwd training
+        path with honest dependent-readback timing; the sweep lives in
+        bench.py's flash_attention entry).
       interpret: force Pallas interpret mode (default: auto — interpret on
         non-TPU backends).
 
