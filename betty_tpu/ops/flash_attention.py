@@ -107,7 +107,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                 jnp.int32, (block_q, block_kv), 1) + kv_idx * block_kv
             mask = cols <= rows
         if mask_ref is not None:
-            kvm = mask_ref[0] != 0                   # (block_kv,)
+            kvm = mask_ref[0, 0] != 0                # (block_kv,)
             kvm = jnp.broadcast_to(kvm[None, :], (block_q, block_kv))
             mask = kvm if mask is None else (mask & kvm)
         if mask is not None:
@@ -160,10 +160,14 @@ def _fwd(q, k, v, kv_mask, *, causal, sm_scale, block_q, block_kv,
     ]
     args = [q, k, v]
     if kv_mask is not None:
+        # mask rides as (B, 1, Skv): Mosaic requires the block's last two
+        # dims be divisible by (8, 128) or equal the array dims — a
+        # (1, block_kv) block over (B, Skv) fails for B > 1, while
+        # (1, 1, block_kv) over (B, 1, Skv) is always legal.
         in_specs.append(
-            pl.BlockSpec((1, block_kv), lambda b, h, q_, kv: (b, kv))
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, q_, kv: (b, 0, kv))
         )
-        args.append(kv_mask.astype(jnp.int32))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
     else:
         in_specs.append(None)
         args.append(None)
@@ -255,7 +259,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_ref,
             mask = cols <= rows
         if mask_ref is not None:
             kvm = jnp.broadcast_to(
-                (mask_ref[0] != 0)[None, :], (block_q, block_kv))
+                (mask_ref[0, 0] != 0)[None, :], (block_q, block_kv))
             mask = kvm if mask is None else (mask & kvm)
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
@@ -327,7 +331,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_ref,
             mask = cols <= rows
         if mask_ref is not None:
             kvm = jnp.broadcast_to(
-                (mask_ref[0] != 0)[None, :], (block_q, block_kv))
+                (mask_ref[0, 0] != 0)[None, :], (block_q, block_kv))
             mask = kvm if mask is None else (mask & kvm)
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
@@ -402,8 +406,8 @@ def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
     dkv_args = list(common_in)
     if kv_mask is not None:
         dkv_specs.append(
-            pl.BlockSpec((1, bkv), lambda b, h, kv, q_: (b, kv)))
-        dkv_args.append(kv_mask.astype(jnp.int32))
+            pl.BlockSpec((1, 1, bkv), lambda b, h, kv, q_: (b, 0, kv)))
+        dkv_args.append(kv_mask.astype(jnp.int32)[:, None, :])
 
         def dkv_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r, dk_r, dv_r,
                        dks, dvs):
@@ -448,8 +452,8 @@ def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
     dq_args = list(common_in)
     if kv_mask is not None:
         dq_specs.append(
-            pl.BlockSpec((1, bkv), lambda b, h, q_, kv: (b, kv)))
-        dq_args.append(kv_mask.astype(jnp.int32))
+            pl.BlockSpec((1, 1, bkv), lambda b, h, q_, kv: (b, 0, kv)))
+        dq_args.append(kv_mask.astype(jnp.int32)[:, None, :])
 
         def dq_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r, dq_r, dqs):
             return _bwd_dq_kernel(q_r, k_r, v_r, do_r, lse_r, di_r, m_r,
