@@ -189,3 +189,65 @@ def test_model_level_flash_parity_padded():
     out_p = plain.apply(variables, ids, train=False)
     out_f = flash.apply(variables, ids, train=False)
     assert _max_err(out_p, out_f) < 1e-4
+
+
+def test_mosaic_block_shape_rule(monkeypatch):
+    """Structural guard for the Mosaic TPU lowering rule that interpret
+    mode does not enforce: every BlockSpec's last two block dims must be
+    divisible by (8, 128) respectively OR equal the array's dims.
+
+    Regression: the kv_mask used to ride as a (1, block_kv) block over a
+    (B, Skv) array — legal in interpret mode, rejected by Mosaic for B > 1
+    (sublane dim 1 is neither divisible by 8 nor equal to B). Spy on every
+    pallas_call the kernels make (fwd, dK/dV, dQ) and check the rule
+    against the actual operands, so CPU CI catches TPU-only lowering
+    regressions."""
+    import betty_tpu.ops.flash_attention as fa
+
+    checked = []
+
+    real_pallas_call = fa.pl.pallas_call
+
+    def spy(kernel, *, grid, in_specs, out_specs, out_shape, **kw):
+        inner = real_pallas_call(kernel, grid=grid, in_specs=in_specs,
+                                 out_specs=out_specs, out_shape=out_shape,
+                                 **kw)
+
+        def wrapped(*args):
+            specs = list(in_specs)
+            outs = (list(out_specs) if isinstance(out_specs, (list, tuple))
+                    else [out_specs])
+            shapes = ([a.shape for a in args]
+                      + [o.shape for o in (out_shape if isinstance(
+                          out_shape, (list, tuple)) else [out_shape])])
+            for spec, shape in zip(specs + outs, shapes):
+                checked.append((tuple(spec.block_shape), tuple(shape)))
+            return inner(*args)
+
+        return wrapped
+
+    monkeypatch.setattr(fa.pl, "pallas_call", spy)
+
+    B, H, S, D = 8, 1, 256, 64
+    q = _rand((B, H, S, D), jnp.float32, 0)
+    k = _rand((B, H, S, D), jnp.float32, 1)
+    v = _rand((B, H, S, D), jnp.float32, 2)
+    rng = np.random.RandomState(3)
+    kv_mask = jnp.asarray(rng.rand(B, S) > 0.3).at[:, 0].set(True)
+
+    # exercise fwd + both bwd kernels, masked and causal+masked
+    jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a, kv_mask)),
+             argnums=(0, 1, 2))(q, k, v)
+    jax.grad(lambda *a: jnp.sum(
+        fa.flash_attention(*a, kv_mask, causal=True)),
+        argnums=(0, 1, 2))(q, k, v)
+
+    assert len(checked) >= 18  # 3 calls x (>=5 operands + outputs) x 2
+    for block, array in checked:
+
+        def ok(bdim, adim, quantum):
+            return bdim % quantum == 0 or bdim == adim
+
+        assert ok(block[-1], array[-1], 128) and (
+            len(block) < 2 or ok(block[-2], array[-2], 8)
+        ), f"Mosaic-illegal block {block} over array {array}"
