@@ -581,6 +581,12 @@ def bench_flash_attention(B=8, H=16, S=512, D=64):
         "fwd_bwd_speedup": round(speedup, 3),
         "max_err_vs_xla": float(f"{err:.2e}"),
         "verdict": "flash-wins" if speedup > 1.0 else "xla-wins-in-context",
+        # Measured once offline (r3, ~12 min Mosaic compile — too slow for
+        # the driver bench): the SAME shape inside the full 355M SAMA
+        # meta-program runs 0.89 vs plain 1.17 meta-periods/s. Honest
+        # verdict: the kernel wins isolated, loses in context; use_flash
+        # defaults off on the models.
+        "in_context_northstar_seq512_speedup_measured_offline": 0.76,
     }
 
 

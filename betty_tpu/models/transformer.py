@@ -28,8 +28,12 @@ class FlashSelfAttention(nn.Module):
     num_heads: int
     qkv_features: int
     causal: bool = False
-    block_q: int = 128
-    block_kv: int = 128
+    # None = the kernel's measured-best defaults (512/512 on v5e at
+    # seq>=512 — see flash_attention()); a fixed 128 here used to pin the
+    # in-context path to the ~1.0x block shape while the isolated bench
+    # ran the 2x one.
+    block_q: int | None = None
+    block_kv: int | None = None
 
     @nn.compact
     def __call__(self, x, kv_mask=None):
@@ -114,7 +118,17 @@ class TransformerClassifier(nn.Module):
 
         block_cls = EncoderBlock
         if self.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=(4,))
+            if self.use_flash:
+                # Selective remat: keep the flash kernel's residuals
+                # (its backward recomputes scores internally — replaying
+                # the pallas forward too costs ~3x attention compute),
+                # rematerialize only the cheap dense/LN/MLP math.
+                from betty_tpu.ops import flash_attention as _fa
+
+                block_cls = nn.remat(EncoderBlock, static_argnums=(4,),
+                                     policy=_fa.remat_policy())
+            else:
+                block_cls = nn.remat(EncoderBlock, static_argnums=(4,))
         for _ in range(self.depth):
             x = block_cls(self.dim, self.heads, dropout=self.dropout,
                           use_flash=self.use_flash)(

@@ -35,6 +35,15 @@ the plain einsum attention for problems solved with CG/Neumann.
 
 On CPU the kernels run in interpret mode (tests); on TPU they compile via
 Mosaic.
+
+Measured verdict (same honesty rule as ops/vector.py): isolated at the
+north-star shape (B8 H16 S512 D64 bf16) the kernel wins 1.3-2.0x over
+XLA's einsum attention on the fwd+bwd path, but inside the full 355M SAMA
+meta-program it loses — 0.76x vs plain at seq 512 (it was 0.46x before
+block sizes were raised to the tuned 512 and the selective remat policy
+below stopped the pallas forward being replayed). ``use_flash`` therefore
+defaults off on the models; the bench's ``flash_attention`` entry tracks
+the isolated numbers per round.
 """
 
 import functools
@@ -46,6 +55,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+# Saved per-row statistics (lse, and the backward's di) are materialized in
+# HBM between the fwd and bwd kernels. They are logically (B, H, S) scalars
+# per row; Mosaic requires the last block dim be 128-divisible OR equal to
+# the array dim, so store them at 8 lanes (the minimum f32 sublane tile) —
+# 16x less HBM footprint/traffic than lane-replicating to 128.
+SAVE_LANES = 8
 # -0.7 * max float32: large enough to zero out in exp, without -inf NaN traps
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -192,12 +207,12 @@ def _fwd(q, k, v, kv_mask, *, causal, sm_scale, block_q, block_kv,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, q_, kv: (b, h, q_, 0)),
-            pl.BlockSpec((1, 1, block_q, LANES),
+            pl.BlockSpec((1, 1, block_q, SAVE_LANES),
                          lambda b, h, q_, kv: (b, h, q_, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Sq, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sq, SAVE_LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -366,11 +381,35 @@ def _flash(q, k, v, kv_mask, causal, sm_scale, block_q, block_kv,
     return o
 
 
+RESIDUAL_NAME = "flash_attention_residuals"
+
+
 def _flash_fwd(q, k, v, kv_mask, causal, sm_scale, block_q, block_kv,
                interpret):
     o, lse = _fwd(q, k, v, kv_mask, causal=causal, sm_scale=sm_scale,
                   block_q=block_q, block_kv=block_kv, interpret=interpret)
-    return o, (q, k, v, kv_mask, o, lse)
+    # Tag the residuals so a selective remat policy
+    # (``remat_policy()`` below) can SAVE them while rematerializing the
+    # rest of a transformer block: flash's backward already recomputes the
+    # score matrix internally, so replaying the forward kernel under a
+    # blanket ``jax.checkpoint`` is pure waste (measured 0.46x in the
+    # north-star context before this).
+    from jax.ad_checkpoint import checkpoint_name
+
+    res = tuple(
+        None if t is None else checkpoint_name(t, RESIDUAL_NAME)
+        for t in (q, k, v, kv_mask, o, lse)
+    )
+    return o, res
+
+
+def remat_policy():
+    """Checkpoint policy for transformer blocks whose attention runs
+    through :func:`flash_attention`: save the kernel's residuals
+    (q/k/v/o/lse — the score matrix is never materialized), rematerialize
+    everything else (LayerNorm/MLP/projections). Use as
+    ``nn.remat(Block, policy=flash_attention.remat_policy())``."""
+    return jax.checkpoint_policies.save_only_these_names(RESIDUAL_NAME)
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
@@ -381,10 +420,10 @@ def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
     bkv = _blocks(Skv, block_kv, "flash_attention kv")
     n_q, n_kv = Sq // bq, Skv // bkv
 
-    # di = rowsum(o * do), lane-replicated so backward tiles load it with
-    # the Q dimension on sublanes (no in-kernel transpose)
+    # di = rowsum(o * do), replicated to SAVE_LANES lanes so backward tiles
+    # load it with the Q dimension on sublanes (no in-kernel transpose)
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    di = jnp.broadcast_to(di[..., None], (B, H, Sq, LANES))
+    di = jnp.broadcast_to(di[..., None], (B, H, Sq, SAVE_LANES))
 
     common_in = [q, k, v, do, lse, di]
 
@@ -393,9 +432,9 @@ def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
             pl.BlockSpec((1, 1, bq, D), q_map),      # q
             pl.BlockSpec((1, 1, bkv, D), kv_map),    # k
             pl.BlockSpec((1, 1, bkv, D), kv_map),    # v
-            pl.BlockSpec((1, 1, bq, D), q_map),      # do
-            pl.BlockSpec((1, 1, bq, LANES), q_map),  # lse
-            pl.BlockSpec((1, 1, bq, LANES), q_map),  # di
+            pl.BlockSpec((1, 1, bq, D), q_map),           # do
+            pl.BlockSpec((1, 1, bq, SAVE_LANES), q_map),  # lse
+            pl.BlockSpec((1, 1, bq, SAVE_LANES), q_map),  # di
         ]
 
     # --- dK/dV: grid (B, H, n_kv, n_q), q innermost ---

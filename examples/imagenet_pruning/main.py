@@ -45,6 +45,13 @@ class Loader(ArrayLoader):
 class Reweight(ImplicitProblem):
     def training_step(self, batch):
         inputs, labels = batch
+        if self.cfg.get("augment"):
+            # held-out clean meta split: deterministic eval transform
+            # (Resize+CenterCrop+Normalize, reference dataset.py:50-56)
+            from betty_tpu.data import imagenet_eval_transform
+
+            inputs = imagenet_eval_transform(
+                inputs, out_size=self.cfg["crop_size"])
         logits = self.classifier(inputs)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
@@ -58,6 +65,14 @@ class Classifier(ImplicitProblem):
 
     def training_step(self, batch):
         inputs, labels = batch
+        if self.cfg.get("augment"):
+            # DEVICE-SIDE RandomResizedCrop+Flip+Normalize (the reference's
+            # torchvision pipeline, dataset.py:35-46, run inside the jitted
+            # step — betty_tpu/data/augment.py); keyed off the per-step rng
+            from betty_tpu.data import imagenet_train_transform
+
+            inputs = imagenet_train_transform(
+                inputs, self.rng, out_size=self.cfg["crop_size"])
         logits = self.module(inputs)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
 
@@ -133,6 +148,7 @@ class Classifier(ImplicitProblem):
 
 class PruneEngine(Engine):
     test_data = None
+    eval_crop = None  # set when --augment device (images arrive uncropped)
 
     def validation(self):
         if self.test_data is None:
@@ -140,7 +156,16 @@ class PruneEngine(Engine):
         from vision_data import problem_accuracy
 
         x, y = self.test_data
-        return {"top1": problem_accuracy(self.classifier, x, y)}
+        fwd = self.classifier
+        if self.eval_crop is not None:
+            from betty_tpu.data import imagenet_eval_transform
+
+            crop = self.eval_crop
+
+            def fwd(xb):  # noqa: F811 — eval transform on device, per batch
+                return self.classifier(
+                    imagenet_eval_transform(xb, out_size=crop))
+        return {"top1": problem_accuracy(fwd, x, y)}
 
 
 def build_engine(args):
@@ -167,8 +192,10 @@ def build_engine(args):
         x_meta, y_meta = make_synthetic_imagenet(
             args.meta_size, args.num_classes, args.image_size, seed=1)
 
+    augment = getattr(args, "augment", "none") == "device"
+    model_size = args.crop_size if augment else args.image_size
     sample = jnp.zeros(
-        (args.batch_size, args.image_size, args.image_size, 3), jnp.float32)
+        (args.batch_size, model_size, model_size, 3), jnp.float32)
     student = from_flax(
         ResNetV1(stage_sizes=tuple(args.stages), num_classes=args.num_classes,
                  width=args.width),
@@ -178,10 +205,14 @@ def build_engine(args):
                     jnp.zeros((args.batch_size, 2)),
                     rng=jax.random.PRNGKey(1), train_kwarg="train")
 
+    aug_cfg = (
+        {"augment": True, "crop_size": args.crop_size} if augment else {}
+    )
     reweight = Reweight(
         name="reweight", module=mwn, optimizer=optim.adam(lr=1e-4),
         train_data_loader=Loader(x_meta, y_meta, args.batch_size, seed=1),
         config=Config(type="darts", log_step=args.log_step),
+        extra_config=aug_cfg,
     )
     classifier = Classifier(
         name="classifier", module=student,
@@ -190,7 +221,7 @@ def build_engine(args):
         config=Config(type="darts", unroll_steps=1,
                       gradient_accumulation=args.gas,
                       log_step=args.log_step),
-        extra_config={"ema_decay": args.ema_decay},
+        extra_config={"ema_decay": args.ema_decay, **aug_cfg},
     )
     engine = PruneEngine(
         config=EngineConfig(train_iters=args.train_iters,
@@ -201,6 +232,8 @@ def build_engine(args):
                       "l2u": {classifier: [reweight]}},
     )
     engine.test_data = test_data
+    if augment:
+        engine.eval_crop = args.crop_size
     return engine
 
 
@@ -222,6 +255,14 @@ def parse_args(argv=None):
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
                    help="classification npz (x_train/y_train/x_test/y_test)")
+    p.add_argument("--augment", choices=["none", "device"], default="none",
+                   help="'device': the reference's torchvision train/eval "
+                        "pipelines (RandomResizedCrop+Flip+Normalize / "
+                        "Resize+CenterCrop+Normalize, dataset.py:35-56) as "
+                        "batched jax ops INSIDE the jitted step "
+                        "(betty_tpu/data/augment.py)")
+    p.add_argument("--crop_size", type=int, default=224,
+                   help="model input size under --augment device")
     return p.parse_args(argv)
 
 

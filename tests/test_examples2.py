@@ -77,6 +77,36 @@ def test_imagenet_pruning_ema():
     assert not np.array_equal(teacher_before, teacher_after)
 
 
+def test_imagenet_pruning_device_augment():
+    """--augment device: the torchvision pipeline as jax ops inside the
+    jitted step (betty_tpu/data/augment.py). Images arrive at image_size,
+    the model runs at crop_size — the transform must execute under jit,
+    through the bilevel trace, for student AND meta problems."""
+    import jax
+
+    mod = load("imagenet_pruning")
+    args = type("A", (), dict(
+        batch_size=4, image_size=40, crop_size=32, num_classes=10, width=8,
+        stages=[1, 1], lr=0.1, gas=1, ema_decay=0.9, train_size=32,
+        meta_size=16, train_iters=3, strategy="default", log_step=-1,
+        augment="device",
+    ))
+    engine = mod.build_engine(args)
+    before = np.concatenate([
+        np.asarray(x).ravel()
+        for x in jax.tree_util.tree_leaves(
+            engine.states["classifier"]["params"])
+    ])
+    engine.run()
+    after = np.concatenate([
+        np.asarray(x).ravel()
+        for x in jax.tree_util.tree_leaves(
+            engine.states["classifier"]["params"])
+    ])
+    assert not np.array_equal(before, after)
+    assert np.all(np.isfinite(after))
+
+
 def test_install_smoke():
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from betty_tpu.test_install import main
