@@ -600,7 +600,7 @@ def transformer_fwd_flops(n_matmul_params, batch, seq, heads, head_dim,
 
 
 def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
-                             remat=True):
+                             remat=True, remat_policy="full"):
     """THE north-star scale (BASELINE.md): SAMA data reweighting with a
     RoBERTa-large-sized encoder (355M params, 24L/1024d/16h) on the real
     chip — bf16, unroll 5, compiled-block mode, device-resident data.
@@ -637,13 +637,13 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
     ]
     if use_flash:
         argv.append("--flash")
+    # state donation is unconditional: without it the dispatch holds input
+    # AND output copies of the 5.7GB state — required headroom for 355M on
+    # a 16GB chip shared with other tenants
+    argv.append("--donate")
     if remat:
-        # per-block remat + state donation: the 355M run needs the
-        # headroom (without donation the dispatch holds input AND output
-        # copies of the 5.7GB state) — and must survive on a shared chip
-        # with fluctuating free memory
         argv.append("--remat")
-        argv.append("--donate")
+        argv += ["--remat_policy", remat_policy]
     try:
         engine = mod.build_engine(mod.parse_args(argv))
         engine.train()
@@ -695,7 +695,8 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
         "batch": BATCH_NS, "seq_len": SEQ, "unroll_steps": unroll,
         "precision": "bf16", "solver": "sama",
         "use_flash_attention": bool(use_flash),
-        "remat": bool(remat), "donate_state": bool(remat),
+        "remat": bool(remat), "donate_state": True,
+        "remat_policy": remat_policy if remat else None,
         "meta_periods_per_sec_median": round(med, 3),
         "sec_per_meta_period": round(1.0 / med, 4),
         "first_block_incl_compile_s": round(compile_s, 1),

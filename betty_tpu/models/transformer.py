@@ -100,6 +100,14 @@ class TransformerClassifier(nn.Module):
     pad_id: int = 1
     use_flash: bool = False  # route attention through the Pallas kernel
     remat: bool = False      # rematerialize each block in the backward
+    # None = blanket per-block remat (minimum HBM: replay the whole block
+    # forward in the backward). "dots" = jax.checkpoint_policies.
+    # checkpoint_dots: SAVE every matmul output (the MXU work) and replay
+    # only the cheap VPU elementwise math (LN/gelu/bias/softmax) — costs
+    # ~100MB/layer of activations at B32/S128/d1024 but removes the full
+    # forward replay from the backward (the recompute that blanket remat
+    # spends ~1/4 of the step on at the north-star scale).
+    remat_policy: str | None = None
 
     @nn.compact
     def __call__(self, input_ids, train: bool = True):
@@ -118,6 +126,16 @@ class TransformerClassifier(nn.Module):
 
         block_cls = EncoderBlock
         if self.remat:
+            import jax
+
+            if self.remat_policy is None:
+                policy = None
+            elif self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
+            else:
+                raise ValueError(
+                    f"remat_policy={self.remat_policy!r}: expected None "
+                    "(blanket) or 'dots' (save matmul outputs)")
             if self.use_flash:
                 # Selective remat: keep the flash kernel's residuals
                 # (its backward recomputes scores internally — replaying
@@ -125,10 +143,15 @@ class TransformerClassifier(nn.Module):
                 # rematerialize only the cheap dense/LN/MLP math.
                 from betty_tpu.ops import flash_attention as _fa
 
-                block_cls = nn.remat(EncoderBlock, static_argnums=(4,),
-                                     policy=_fa.remat_policy())
-            else:
+                fa_policy = _fa.remat_policy()
+                policy = fa_policy if policy is None else (
+                    jax.checkpoint_policies.save_from_both_policies(
+                        policy, fa_policy))
+            if policy is None:
                 block_cls = nn.remat(EncoderBlock, static_argnums=(4,))
+            else:
+                block_cls = nn.remat(EncoderBlock, static_argnums=(4,),
+                                     policy=policy)
         for _ in range(self.depth):
             x = block_cls(self.dim, self.heads, dropout=self.dropout,
                           use_flash=self.use_flash)(
@@ -145,12 +168,12 @@ class TransformerClassifier(nn.Module):
 
 def roberta_large_config(num_classes: int = 2, max_len: int = 128,
                          use_flash: bool = False, remat: bool = False,
-                         dropout: float = 0.1):
+                         dropout: float = 0.1, remat_policy=None):
     """The north-star scale (≈355M params)."""
     return TransformerClassifier(
         vocab_size=50265, max_len=max_len, dim=1024, depth=24, heads=16,
         num_classes=num_classes, use_flash=use_flash, remat=remat,
-        dropout=dropout,
+        dropout=dropout, remat_policy=remat_policy,
     )
 
 

@@ -231,15 +231,17 @@ def build_engine(args):
         )
         classifier_mod = from_hf_flax(hf)
     else:
+        policy = None if args.remat_policy == "full" else args.remat_policy
         if args.model == "large":
             model = roberta_large_config(max_len=args.seq_len,
                                          use_flash=args.flash,
-                                         remat=args.remat)
+                                         remat=args.remat,
+                                         remat_policy=policy)
         else:
             model = TransformerClassifier(
                 vocab_size=vocab, max_len=args.seq_len, dim=args.dim,
                 depth=args.depth, heads=args.heads, use_flash=args.flash,
-                remat=args.remat,
+                remat=args.remat, remat_policy=policy,
             )
         sample = jnp.zeros((args.batch_size, args.seq_len), jnp.int32)
         classifier_mod = from_flax(model, sample, rng=jax.random.PRNGKey(0),
@@ -324,6 +326,13 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks in the backward "
                         "(jax.checkpoint) to cut activation HBM")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "dots"],
+                   help="with --remat: 'full' replays the whole block "
+                        "forward in the backward (minimum HBM); 'dots' "
+                        "saves every matmul output and replays only the "
+                        "cheap elementwise math (checkpoint_dots — faster "
+                        "when the activations fit)")
     p.add_argument("--compile_blocks", action="store_true")
     p.add_argument("--device_data", action="store_true")
     # --- real-data options ---

@@ -314,3 +314,50 @@ def test_selective_remat_policy_saves_flash_residuals():
     fp = {k[0]: v for k, v in fp.items()}
     assert set(fr) == set(fp)
     assert all(float(jnp.max(jnp.abs(fr[k] - fp[k]))) == 0.0 for k in fr)
+
+
+def test_dots_remat_policy_saves_matmuls():
+    """remat_policy="dots" (checkpoint_dots): matmul outputs survive the
+    remat boundary — the backward replays only elementwise math — and
+    gradients are bit-identical to blanket remat (policies change
+    scheduling, never values)."""
+    from jax._src.ad_checkpoint import saved_residuals
+
+    from betty_tpu.models.transformer import TransformerClassifier
+
+    kw = dict(vocab_size=50, max_len=64, dim=64, depth=1, heads=4,
+              dropout=0.0, remat=True)
+    dots = TransformerClassifier(**kw, remat_policy="dots")
+    blanket = TransformerClassifier(**kw)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(2, 50, (2, 64)).astype(np.int32))
+    variables = dots.init(jax.random.PRNGKey(0), ids, train=False)
+
+    res = saved_residuals(
+        lambda v: jnp.sum(dots.apply(v, ids, train=False)), variables)
+    shapes = [tuple(a.shape) for a, _ in res]
+    # the MLP hidden matmul output (B, S, 4*dim) is saved under "dots"...
+    assert (2, 64, 256) in shapes, shapes
+    # ...and NOT under blanket remat (only block inputs survive there)
+    res_b = saved_residuals(
+        lambda v: jnp.sum(blanket.apply(v, ids, train=False)), variables)
+    assert (2, 64, 256) not in [tuple(a.shape) for a, _ in res_b]
+
+    loss = lambda m: lambda v: jnp.sum(  # noqa: E731
+        m.apply(v, ids, train=False) ** 2)
+    g_d = jax.grad(loss(dots))(variables)
+    g_b = jax.grad(loss(blanket))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_b)):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+def test_dots_remat_policy_invalid_name():
+    from betty_tpu.models.transformer import TransformerClassifier
+
+    model = TransformerClassifier(vocab_size=50, max_len=64, dim=64,
+                                  depth=1, heads=4, remat=True,
+                                  remat_policy="nope")
+    ids = jnp.zeros((2, 64), jnp.int32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        model.init(jax.random.PRNGKey(0), ids, train=False)
