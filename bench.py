@@ -697,6 +697,12 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
         "use_flash_attention": bool(use_flash),
         "remat": bool(remat), "donate_state": True,
         "remat_policy": remat_policy if remat else None,
+        # measured ladder at this shape (chip, r3): blanket replay 1.372,
+        # dots 1.553, no-remat 1.586 meta-periods/s. "dots" is the default:
+        # within ~2% of no-remat while keeping activation HBM bounded
+        # (no-remat stops fitting at seq>=512 or larger batch).
+        "remat_ladder_measured_meta_periods_per_sec": {
+            "full": 1.372, "dots": 1.553, "none": 1.586},
         "meta_periods_per_sec_median": round(med, 3),
         "sec_per_meta_period": round(1.0 / med, 4),
         "first_block_incl_compile_s": round(compile_s, 1),
@@ -880,7 +886,7 @@ def main():
     fused = bench_fused_ops()
     flash = bench_flash_attention()
     sama_tfm = bench_sama_transformer()
-    northstar = bench_sama_roberta_large()
+    northstar = bench_sama_roberta_large(remat_policy="dots")
     ref = bench_reference()
     # None (not 1.0) when the reference could not run: a silent default of
     # parity would be indistinguishable from a measured 1.0x
