@@ -600,7 +600,8 @@ def transformer_fwd_flops(n_matmul_params, batch, seq, heads, head_dim,
 
 
 def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
-                             remat=True, remat_policy="full"):
+                             remat=True, remat_policy="full",
+                             rng_impl="rbg"):
     """THE north-star scale (BASELINE.md): SAMA data reweighting with a
     RoBERTa-large-sized encoder (355M params, 24L/1024d/16h) on the real
     chip — bf16, unroll 5, compiled-block mode, device-resident data.
@@ -634,6 +635,12 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
         "--train_size", "512", "--meta_size", "256",
         "--unroll_steps", "5", "--precision", "bf16",
         "--hypergradient", "sama", "--device_data",
+        # hardware RngBitGenerator for dropout masks: threefry mask
+        # generation is pure VPU arithmetic and profiles at ~17% of block
+        # device time at this scale (paid twice per layer: masks are
+        # regenerated in the backward under remat). Measured ladder at
+        # B32/S128/dots: threefry 1.553 vs rbg 1.989 meta-periods/s (+28%).
+        "--rng_impl", rng_impl,
     ]
     if use_flash:
         argv.append("--flash")
@@ -703,6 +710,11 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
         # (no-remat stops fitting at seq>=512 or larger batch).
         "remat_ladder_measured_meta_periods_per_sec": {
             "full": 1.372, "dots": 1.553, "none": 1.586},
+        # dropout-mask PRNG: threefry (JAX default) vs the TPU hardware
+        # RngBitGenerator, both at B32/S128/dots remat (chip, r3)
+        "rng_impl": rng_impl,
+        "rng_ladder_measured_meta_periods_per_sec": {
+            "threefry": 1.553, "rbg": 1.989},
         "meta_periods_per_sec_median": round(med, 3),
         "sec_per_meta_period": round(1.0 / med, 4),
         "first_block_incl_compile_s": round(compile_s, 1),

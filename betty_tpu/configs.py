@@ -161,6 +161,17 @@ class EngineConfig:
     # machine-feature-sensitive); None disables; an explicit dir always
     # applies.
     compile_cache_dir: Optional[str] = "auto"
+    # PRNG implementation for every key the engine derives (dropout, init,
+    # perturbations): "threefry" = JAX's default counter-based generator
+    # (stable, partitionable, reference-comparable streams); "rbg" = the
+    # TPU-native hardware RngBitGenerator. Threefry mask generation is pure
+    # VPU arithmetic and shows up hard in profiles of dropout-heavy models —
+    # on the 355M north-star block it is ~17% of device time (masks are
+    # regenerated in the backward pass under remat, so it is paid twice per
+    # layer). "rbg" removes that at the cost of different (still
+    # high-quality) random streams; trajectories are NOT bit-comparable
+    # across the two settings. Applied process-globally at engine init.
+    rng_impl: str = "threefry"
     # checkpointing
     checkpoint_dir: Optional[str] = None
     checkpoint_step: int = 0  # 0 disables periodic engine checkpoints

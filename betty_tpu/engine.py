@@ -81,6 +81,10 @@ class Engine:
         joined first; the mesh then spans all processes' devices and one
         controller program drives them (SURVEY.md §5.8)."""
         maybe_init_distributed()
+        if self.config.rng_impl != "threefry":
+            # must precede every PRNGKey creation below (problem init_state,
+            # trace rngs): jax.random.PRNGKey reads this process-global flag
+            jax.config.update("jax_default_prng_impl", self.config.rng_impl)
         if self.config.compile_cache_dir:
             # persistent XLA compilation cache: recompiles after restart
             # (auto_resume elasticity, repeated runs) become disk reads

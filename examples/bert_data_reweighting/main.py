@@ -272,7 +272,7 @@ def build_engine(args):
         config=EngineConfig(
             train_iters=args.train_iters, valid_step=args.valid_step,
             strategy=args.strategy, compile_blocks=args.compile_blocks,
-            donate_state=args.donate,
+            donate_state=args.donate, rng_impl=args.rng_impl,
             mesh_shape=tuple(
                 (n, int(s)) for n, s in
                 (ax.split(":") for ax in args.mesh.split(","))
@@ -333,6 +333,11 @@ def parse_args(argv=None):
                         "saves every matmul output and replays only the "
                         "cheap elementwise math (checkpoint_dots — faster "
                         "when the activations fit)")
+    p.add_argument("--rng_impl", default="threefry",
+                   choices=["threefry", "rbg"],
+                   help="'rbg' uses the TPU hardware RngBitGenerator for "
+                        "dropout masks (threefry mask generation is ~17%% "
+                        "of 355M-block device time); random streams differ")
     p.add_argument("--compile_blocks", action="store_true")
     p.add_argument("--device_data", action="store_true")
     # --- real-data options ---

@@ -117,3 +117,25 @@ def test_compile_cache_dir_populated(tmp_path):
 
     assert _jax.config.jax_compilation_cache_dir == str(cache)
     assert cache.exists()
+
+
+def test_rng_impl_rbg_runs_and_restores():
+    """EngineConfig.rng_impl="rbg" switches key creation to the hardware
+    RngBitGenerator (TPU-native dropout-mask path; threefry mask generation
+    measured at ~17% of 355M-block device time). Streams differ from
+    threefry, so the knob is opt-in; here: the engine trains, losses stay
+    finite, and the flag is restored for the rest of the suite."""
+    import jax
+
+    prev = jax.config.jax_default_prng_impl
+    try:
+        engine, outer, inner = make_engine(
+            Config(unroll_steps=2),
+            EngineConfig(train_iters=4, rng_impl="rbg"),
+        )
+        engine.run()
+        leaves = jax.tree_util.tree_leaves(engine.states["outer"]["params"])
+        assert all(bool(np.all(np.isfinite(np.asarray(x)))) for x in leaves)
+        assert jax.config.jax_default_prng_impl == "rbg"
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
