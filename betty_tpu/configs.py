@@ -170,7 +170,11 @@ class EngineConfig:
     # regenerated in the backward pass under remat, so it is paid twice per
     # layer). "rbg" removes that at the cost of different (still
     # high-quality) random streams; trajectories are NOT bit-comparable
-    # across the two settings. Applied process-globally at engine init.
+    # across the two settings. Applied process-globally at engine init and
+    # NOT reset afterwards (the default "threefry" leaves the process flag
+    # untouched, so a deliberate global choice survives later engines);
+    # restore jax.config.jax_default_prng_impl yourself when mixing
+    # implementations in one process.
     rng_impl: str = "threefry"
     # checkpointing
     checkpoint_dir: Optional[str] = None

@@ -25,6 +25,12 @@ single-purpose JAX implementation of the same step.
 Also shown: ``EngineConfig(remat=...)`` via ``Config(remat=True)`` trades
 FLOPs for activation memory, and ``donate_state=True`` halves transient HBM
 on direct-attached chips.
+
+A fourth dial for dropout-heavy models: ``EngineConfig(rng_impl="rbg")``
+generates masks with the TPU hardware RngBitGenerator instead of threefry
+(+28% on the 355M north-star block, where threefry mask generation
+profiled at ~17% of device time). Streams differ from threefry, so keep
+the default when comparing trajectories against the reference.
 """
 
 import time
