@@ -759,6 +759,11 @@ def bench_sama_transformer():
         "--train_size", "1024", "--meta_size", "256",
         "--unroll_steps", "5", "--precision", "bf16",
         "--hypergradient", "sama", "--device_data",
+        # hardware RNG for dropout masks (EngineConfig.rng_impl): measured
+        # 62.1 (threefry) vs 89.9 (rbg) meta-periods/s on this row (chip,
+        # r3) — the 17M model's mask generation is relatively even more
+        # expensive than at 355M scale
+        "--rng_impl", "rbg",
     ])
     engine = mod.build_engine(args)
     engine.train()
@@ -781,6 +786,9 @@ def bench_sama_transformer():
         "meta_periods_per_sec_peak": round(max(rates), 3),
         "unroll_steps": 5,
         "precision": "bf16",
+        "rng_impl": "rbg",
+        "rng_ladder_measured_meta_periods_per_sec": {
+            "threefry": 62.1, "rbg": 89.9},
         "solver": "sama",
     }
     # analytic MFU (XLA cost analysis counts scan bodies once — useless
