@@ -108,6 +108,32 @@ def block_cost_flops(runner, periods):
         return None
 
 
+def hbm_static_analysis(runner):
+    """Compile-time HBM footprint of the compiled block from XLA's memory
+    analysis — available even where the runtime reports no memory_stats
+    (the axon tunnel returns None there). arguments = resident state +
+    staged index rows, temps = transient activations/remat residuals,
+    alias = donated buffers shared between argument and output."""
+    try:
+        compiled = runner._jit_block.lower(
+            *runner._last_abstract_args
+        ).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return None
+        peak = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+        return {
+            "argument_bytes": int(ma.argument_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "alias_bytes": int(ma.alias_size_in_bytes),
+            "upper_bound_gib": round(peak / 2**30, 2),
+        }
+    except Exception:  # pragma: no cover — backend without the API
+        return None
+
+
 def bench_solver(solver, precision="fp32"):
     """Compiled-block mode with device-resident data (the TPU execution
     path), K periods per dispatch. Timing is synced with an actual device
@@ -155,7 +181,8 @@ def bench_solver(solver, precision="fp32"):
     # number already ~equals ONE meta-step's flops (unroll=1 here) — do NOT
     # divide by K (r2's MFU line made that mistake and under-reported ~Kx)
     flops = block_cost_flops(runner, 1)
-    return statistics.median(rates), max(rates), flops
+    return (statistics.median(rates), max(rates), flops,
+            hbm_static_analysis(runner))
 
 
 def bench_handwritten():
@@ -727,6 +754,9 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
     if hbm:
         out["hbm_peak_bytes"] = hbm
         out["hbm_peak_gib"] = round(hbm / 2**30, 2)
+    hbm_static = hbm_static_analysis(runner)
+    if hbm_static:
+        out["hbm_static_analysis"] = hbm_static
     return out
 
 
@@ -814,6 +844,9 @@ def bench_sama_transformer():
     hbm = hbm_peak_bytes()
     if hbm:
         out["hbm_peak_bytes"] = hbm
+    hbm_static = hbm_static_analysis(runner)
+    if hbm_static:
+        out["hbm_static_analysis"] = hbm_static
     return out
 
 
@@ -874,7 +907,7 @@ def main():
     solvers = {}
     flops_per_step = None
     for solver in ("darts", "cg", "neumann"):
-        med, peak, flops = bench_solver(solver)
+        med, peak, flops, hbm_static = bench_solver(solver)
         row = {"median": round(med, 3), "peak": round(peak, 3)}
         if flops:
             row["gflops_per_meta_step"] = round(flops / 1e9, 3)
@@ -883,12 +916,14 @@ def main():
         hbm = hbm_peak_bytes()
         if hbm:
             row["hbm_peak_bytes"] = hbm  # process high-water so far
+        if hbm_static:
+            row["hbm_static_analysis"] = hbm_static
         solvers[solver] = row
         if solver == "darts" and flops:
             flops_per_step = flops
     # bf16 inner steps + fp32 hypergradients (the default solver_precision
     # policy): ~15% over fp32 on this workload
-    med, peak, flops = bench_solver("darts", precision="bf16")
+    med, peak, flops, _ = bench_solver("darts", precision="bf16")
     solvers["darts_bf16"] = {"median": round(med, 3), "peak": round(peak, 3)}
     if flops and peak_hw:
         solvers["darts_bf16"]["mfu"] = round(flops * med / peak_hw, 5)
