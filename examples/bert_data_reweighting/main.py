@@ -256,6 +256,7 @@ def build_engine(args):
         train_data_loader=TokenLoader(x_meta, y_meta, args.batch_size,
                                       seed=1, device=args.device_data),
         config=Config(type=args.hypergradient, precision=args.precision,
+                      solver_precision=args.solver_precision,
                       log_step=args.log_step),
     )
     classifier = Classifier(
@@ -266,7 +267,9 @@ def build_engine(args):
                                       seed=0, device=args.device_data),
         config=Config(type=args.hypergradient,
                       unroll_steps=args.unroll_steps,
-                      precision=args.precision, log_step=args.log_step),
+                      precision=args.precision,
+                      solver_precision=args.solver_precision,
+                      log_step=args.log_step),
     )
     engine = SST2Engine(
         config=EngineConfig(
@@ -296,6 +299,13 @@ def parse_args(argv=None):
     p.add_argument("--hypergradient", default="sama",
                    choices=["sama", "darts", "cg", "neumann"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    p.add_argument("--solver_precision", default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="Precision of the SAMA/darts hypergradient pipeline "
+                        "(perturbed forwards + meta grad). fp32 (default) "
+                        "reproduces the all-fp32 hypergradient bit-exactly "
+                        "(tests/test_bf16.py); bf16 trades ~1-4%% "
+                        "hypergradient error for throughput.")
     p.add_argument("--strategy", default="default",
                    choices=["default", "dp", "distributed", "zero", "fsdp",
                             "tp"])
