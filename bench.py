@@ -91,15 +91,26 @@ def hbm_peak_bytes():
     return int(stats.get("peak_bytes_in_use", 0)) or None
 
 
+def _compiled_block(runner):
+    """AOT-compile the runner's block once and memoize it on the runner —
+    block_cost_flops and hbm_static_analysis share it (an extra lower+
+    compile costs minutes at the 355M scale when the persistent cache is
+    cold)."""
+    compiled = getattr(runner, "_bench_compiled", None)
+    if compiled is None:
+        compiled = runner._jit_block.lower(
+            *runner._last_abstract_args
+        ).compile()
+        runner._bench_compiled = compiled
+    return compiled
+
+
 def block_cost_flops(runner, periods):
     """Per-meta-step FLOPs from XLA cost analysis of the compiled block."""
     import sys as _sys
 
     try:
-        compiled = runner._jit_block.lower(
-            *runner._last_abstract_args
-        ).compile()
-        cost = compiled.cost_analysis()
+        cost = _compiled_block(runner).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost["flops"]) / periods
@@ -115,10 +126,7 @@ def hbm_static_analysis(runner):
     staged index rows, temps = transient activations/remat residuals,
     alias = donated buffers shared between argument and output."""
     try:
-        compiled = runner._jit_block.lower(
-            *runner._last_abstract_args
-        ).compile()
-        ma = compiled.memory_analysis()
+        ma = _compiled_block(runner).memory_analysis()
         if ma is None:
             return None
         peak = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
@@ -297,7 +305,8 @@ def bench_handwritten():
     return max(rates)  # best window: least contention-contaminated
 
 
-def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50):
+def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50,
+                           cifar_target_acc=0.85):
     """Wall-clock (incl. compile) to reach target clean-test accuracy on a
     reweighting-under-40%-label-noise workload, cg solver (BASELINE.md's
     named metric). DATA: synthetic separable features by default (this
@@ -321,7 +330,10 @@ def bench_wallclock_to_acc(target_acc=0.9, max_iters=3000, check_every=50):
 
     cifar = os.environ.get("BETTY_CIFAR_NPZ")
     if cifar and os.path.exists(cifar):
-        return _bench_wallclock_cifar(cifar, target_acc=0.85,
+        # the CIFAR form has its own explicit gate (ResNet-32 under 40%
+        # uniform noise plateaus below the synthetic task's 0.9 within a
+        # bounded-iteration bench) — not the synthetic target_acc
+        return _bench_wallclock_cifar(cifar, target_acc=cifar_target_acc,
                                       max_iters=max_iters,
                                       check_every=check_every)
 
@@ -418,7 +430,11 @@ def _bench_wallclock_cifar(npz_path, target_acc, max_iters, check_every):
     t_start = time.perf_counter()
     args = parse_args([
         "--train_iters", str(max_iters), "--batch_size", "128",
-        "--data-dir", npz_path, "--corruption", "0.4",
+        "--data-dir", npz_path,
+        # uniform 40% label noise — the reference README's noisy-label MWN
+        # setting (both flags required: type=None makes corrupt_labels a
+        # no-op regardless of ratio)
+        "--corruption_type", "uniform", "--corruption_ratio", "0.4",
         "--solver", "cg", "--cg_iterations", "3", "--cg_alpha", "1.0",
         "--device_data",
     ])
@@ -720,7 +736,9 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
     # NOTE: XLA's cost analysis counts each lax.scan BODY once (not trip-
     # count times), so it under-reports the 5-step inner unroll; reported
     # for transparency, mfu_analytic is the honest number.
-    xla_flops = block_cost_flops(runner, K)
+    # the K-period lax.scan body is counted ONCE by cost analysis (same
+    # rule bench_solver documents) — divide by 1, not K
+    xla_flops = block_cost_flops(runner, 1)
 
     peak, kind = peak_flops()
     out = {

@@ -392,7 +392,11 @@ class BlockRunner:
                 continue
 
             def put(x, _lead=lead):
-                spec = P(*([None] * _lead), "dp")
+                # batch axis layout comes from the engine (("dcn","dp") on
+                # multi-slice meshes, "dp" otherwise, replicated on pure
+                # model-parallel meshes) — staging axes sit in front of it
+                base = getattr(self.engine._batch_sharding, "spec", P())
+                spec = P(*([None] * _lead), *base)
                 sharding = NamedSharding(mesh, spec)
                 if multiproc:
                     return jax.make_array_from_process_local_data(

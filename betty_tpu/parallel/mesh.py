@@ -195,6 +195,18 @@ def tp_shardings(tree, mesh: Mesh, axis: Optional[str] = None,
     )
 
 
+# Expert-stacked MoE leaves (models/moe.py's layout). ONE definition shared
+# by the sharder (_ep_rules) and the matcher (strategy_matches) so the
+# engine's loud-error guarantee cannot drift from the actual layout.
+_MOE_EXPERT_LEAF = re.compile(r"(^|/)moe/(w[0-9]+|b[0-9]+)$")
+
+
+def _has_stacked_blocks(params) -> bool:
+    """models.make_pipelined_transformer's layout: stage-stacked block
+    parameters under ``params["blocks"]``."""
+    return isinstance(params, dict) and "blocks" in params
+
+
 def _pp_rules(state, mesh: Mesh):
     """One-liner ``strategy="pp"``: stage-stacked block parameters (leading
     depth axis, ``params["blocks"]`` — models.make_pipelined_transformer's
@@ -209,7 +221,7 @@ def _pp_rules(state, mesh: Mesh):
             f"(got axes {tuple(mesh.shape)})"
         )
     params = state.get("params")
-    if not (isinstance(params, dict) and "blocks" in params):
+    if not _has_stacked_blocks(params):
         return None  # not a pipelined module: replicate (engine validates
         # that at least one problem in the program matched)
     size = mesh.shape[axis]
@@ -234,10 +246,9 @@ def _ep_rules(state, mesh: Mesh):
             f"(got axes {tuple(mesh.shape)})"
         )
     size = mesh.shape["ep"]
-    pat = re.compile(r"(^|/)moe/(w[0-9]+|b[0-9]+)$")
     matched = [
         (p, x) for p, x in _iter_path_leaves(state.get("params", {}))
-        if pat.search(p)
+        if _MOE_EXPERT_LEAF.search(p)
     ]
     if not matched:
         return None  # not an MoE module: replicate (engine validates that
@@ -248,7 +259,7 @@ def _ep_rules(state, mesh: Mesh):
                 f"strategy='ep': {p} has {x.shape[0]} experts, not "
                 f"divisible by the ep axis size {size}"
             )
-    return ((r"(^|/)moe/(w[0-9]+|b[0-9]+)$", ("ep",)), (r".*", ()))
+    return ((_MOE_EXPERT_LEAF.pattern, ("ep",)), (r".*", ()))
 
 
 def _iter_path_leaves(tree):
@@ -262,10 +273,10 @@ def strategy_matches(strategy: str, state) -> bool:
     (pp: stacked ``params["blocks"]``; ep: ``moe/*`` expert-stacked)."""
     params = state.get("params")
     if strategy == "pp":
-        return isinstance(params, dict) and "blocks" in params
+        return _has_stacked_blocks(params)
     if strategy == "ep":
-        pat = re.compile(r"(^|/)moe/(w[0-9]+|b[0-9]+)$")
-        return any(pat.search(p) for p, _ in _iter_path_leaves(params or {}))
+        return any(_MOE_EXPERT_LEAF.search(p)
+                   for p, _ in _iter_path_leaves(params or {}))
     return True
 
 
@@ -302,11 +313,13 @@ def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
         return jax.device_put(state, rep)
     if strategy in ("dp", "distributed"):
         return jax.device_put(state, rep)
-    if strategy == "pp":
-        rules = _pp_rules(state, mesh)
-        strategy = "tp"
-    elif strategy == "ep":
-        rules = _ep_rules(state, mesh)
+    if strategy in ("pp", "ep"):
+        rules = (_pp_rules if strategy == "pp" else _ep_rules)(state, mesh)
+        if rules is None:
+            # not a pipelined/MoE module: replicate, as documented — do NOT
+            # fall through to tp_shardings' Megatron defaults, which would
+            # silently column-shard dense kernels over the dp axis
+            return jax.device_put(state, rep)
         strategy = "tp"
     if strategy == "zero":
         for k in ("params", "extra", "grad_acc", "last_grad", "sched_step"):
@@ -334,9 +347,11 @@ def shard_state(state, mesh: Mesh, strategy: str = "dp", rules=None):
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
-def make_global_batch(local_batch, mesh: Mesh, axis: str = "dp"):
+def make_global_batch(local_batch, mesh: Mesh, axis=None):
     """Multi-host: assemble a globally-sharded batch from per-process data
-    (replacement for per-rank ``DistributedBatchSampler`` sharding)."""
+    (replacement for per-rank ``DistributedBatchSampler`` sharding).
+    Default axis: ``batch_sharding``'s — ``("dcn", "dp")`` on multi-slice
+    meshes, ``"dp"`` otherwise."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),

@@ -222,6 +222,12 @@ def build_engine(args):
             "the plain einsum attention — drop --flash or use darts/sama"
         )
     if args.hf_model:
+        if args.flash:
+            raise ValueError(
+                "--flash only routes through betty_tpu's TransformerClassifier; "
+                "a --hf_model checkpoint keeps its own (einsum) attention — "
+                "drop --flash or use --model small/large"
+            )
         # a local HuggingFace checkpoint directory (no download egress):
         # the reference's actual model family (roberta-large fine-tune)
         from transformers import FlaxAutoModelForSequenceClassification

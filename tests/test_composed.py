@@ -278,3 +278,27 @@ def test_three_axis_collectives_in_hlo():
     hlo = f.lower(pp_mod.variables).compile().as_text()
     assert ("collective-permute" in hlo) or ("all-reduce" in hlo) or (
         "all-gather" in hlo), "no collectives in 3-axis compiled program"
+
+
+def test_strategy_pp_ep_replicate_non_matching_problems():
+    """A problem whose module does NOT have the pp/ep layout must be
+    REPLICATED under strategy='pp'/'ep' — not fall through to
+    tp_shardings' Megatron defaults, which would silently column-shard any
+    large dense kernel over the dp axis (regression: the one-liner docs
+    promise 'replicate everything else')."""
+    from betty_tpu.parallel.mesh import shard_state
+
+    mesh = make_mesh((("dp", 2), ("pp", 2), ("ep", 2)))
+    # large enough (128*64 = 8192 >= the TP min_size 2**12) that the old
+    # fall-through WOULD have sharded it
+    state = {
+        "params": {"Dense_0": {"kernel": jnp.ones((128, 64))}},
+        "opt_state": {"mu": {"Dense_0": {"kernel": jnp.zeros((128, 64))}}},
+    }
+    for strategy in ("pp", "ep"):
+        out = shard_state(dict(state), mesh, strategy)
+        for leaf in jax.tree_util.tree_leaves(out):
+            assert leaf.sharding.is_fully_replicated, (
+                f"strategy={strategy!r} sharded a non-matching problem: "
+                f"{leaf.sharding}"
+            )

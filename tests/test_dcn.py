@@ -45,7 +45,7 @@ class Classifier(ImplicitProblem):
         return jnp.mean(w * ce)
 
 
-def _run(strategy, mesh_shape, iters=4):
+def _run(strategy, mesh_shape, iters=4, **cfg):
     x, y = _data(64, 0)
     xv, yv = _data(32, 1)
     clf = Classifier(
@@ -66,7 +66,7 @@ def _run(strategy, mesh_shape, iters=4):
     )
     eng = Engine(
         config=EngineConfig(train_iters=iters, strategy=strategy,
-                            mesh_shape=mesh_shape),
+                            mesh_shape=mesh_shape, **cfg),
         problems=[rw, clf],
         dependencies={"u2l": {rw: [clf]}, "l2u": {clf: [rw]}},
     )
@@ -168,3 +168,42 @@ def test_dcn_fsdp_keeps_param_gathers_intra_slice():
         flat.extend(entry if isinstance(entry, tuple) else (entry,))
     assert "dcn" not in flat, f"fsdp sharded a parameter over dcn: {spec}"
     assert "dp" in flat, f"fsdp did not shard over dp: {spec}"
+
+
+def test_dcn_compiled_block_staging_spans_both_axes():
+    """Compiled-block mode on a multi-slice mesh: staged segment batches
+    must shard their batch axis over ("dcn", "dp") — the engine's batch
+    layout — not a hardcoded "dp" (regression: dcn-replicated staging
+    would make cross-slice 'replicas' disagree in a multi-process run)."""
+    from betty_tpu.compile import BlockRunner
+
+    eng = _run("dp", (("dcn", 2), ("dp", 4)), iters=0)
+    eng.train()
+    runner = BlockRunner(eng, scan_periods=1)
+    seg_batches = runner.collect_batches()
+    leads = [1 if seg.is_scan else 0 for seg in runner.segments]
+    staged = runner._device_put_segments(seg_batches, leads)
+    checked = 0
+    for batch, lead in zip(staged, leads):
+        if batch is None:
+            continue
+        for leaf in jax.tree_util.tree_leaves(batch):
+            # batch axis sits behind `lead` staging axes; 8 devices over
+            # (dcn=2, dp=4) must each hold 1/8 of it
+            assert leaf.sharding.shard_shape(leaf.shape)[lead] == \
+                leaf.shape[lead] // 8, leaf.sharding
+            checked += 1
+    assert checked, "no staged batches were checked"
+
+    # and the engine still matches the single-device trajectory end-to-end
+    eng2 = _run("dp", (("dcn", 2), ("dp", 4)), iters=4,
+                compile_blocks=True)
+    ref = _run("default", None, iters=4)
+    err = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(eng2.states["classifier"]["params"]),
+            jax.tree_util.tree_leaves(ref.states["classifier"]["params"]),
+        )
+    )
+    assert err < 2e-5, f"dcn compiled-block staging diverged: {err}"
