@@ -293,3 +293,16 @@ def test_sst2_tsv_glue_column_order(tmp_path):
         f.write("also nothing\n")
     with pytest.raises(ValueError, match="no parseable rows"):
         mod.load_sst2(str(tmp_path / "bad"), vocab=200, seq_len=8)
+
+
+def test_bert_reweighting_flag_validation():
+    """--flash composes only with the built-in TransformerClassifier and
+    reverse-mode solvers; both misuse modes error loudly instead of
+    silently benchmarking the wrong attention path."""
+    mod = load("bert_data_reweighting")
+    with pytest.raises(ValueError, match="reverse-mode|einsum"):
+        mod.build_engine(mod.parse_args([
+            "--flash", "--hypergradient", "cg", "--train_iters", "0"]))
+    with pytest.raises(ValueError, match="hf_model|attention"):
+        mod.build_engine(mod.parse_args([
+            "--flash", "--hf_model", "/nonexistent", "--train_iters", "0"]))

@@ -466,3 +466,43 @@ def test_nas_search_quality():
     assert acc_s > 0.9, f"searched genotype retrains poorly: {acc_s}"
     assert acc_s >= acc_r - 0.05, (acc_s, acc_r)
     assert moved > 1.5e-3, f"architecture logits did not move: {moved}"
+
+
+# ---------------------------------------------------------------------------
+# 5. PPO: the policy actually improves over an untrained one
+# ---------------------------------------------------------------------------
+
+
+def test_ppo_policy_improves():
+    """The PPO example (Actor/Critic problems + rollout Env) must move the
+    mean per-rollout return well beyond the untrained policy's, not merely
+    execute (the smoke test in test_examples2 asserts > 0 only). Measured
+    with this seed: untrained ~22, after 60 rollouts ~128; gate at 3x."""
+    import sys
+    from pathlib import Path
+
+    ex = Path(__file__).resolve().parents[1] / "examples" / "ppo"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ppo_gate", ex / "main.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ppo_gate"] = mod
+    spec.loader.exec_module(mod)
+
+    def build(iters):
+        args = type("A", (), dict(
+            n_envs=8, horizon=128, train_iters=iters, epochs_per_rollout=4,
+            seed=0, log_step=-1,
+        ))
+        return mod.build_engine(args)
+
+    # untrained-policy return: the Env samples its first rollout at
+    # construction time, before any update
+    untrained = build(0).env.mean_return
+    engine = build(60)
+    engine.run()
+    trained = engine.env.mean_return
+    print(f"PPO mean rollout return: untrained {untrained:.1f} -> "
+          f"trained {trained:.1f}")
+    assert trained > 3.0 * untrained, (untrained, trained)
+    assert trained > 80.0, trained
