@@ -919,13 +919,66 @@ def setup_compile_cache():
     return warm
 
 
+def chip_available(timeout_s=240):
+    """Probe the accelerator in a SUBPROCESS with a hard timeout. When the
+    tunneled TPU is unreachable, in-process backend initialization HANGS
+    for many minutes (measured: >580s) rather than failing — so the probe
+    must be killable. Respects an explicit JAX_PLATFORMS=cpu (CPU "chip"
+    counts as available for CI runs of the bench)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) > 0"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _section(fn, *a, **k):
+    """Fail-soft benchmark section: the driver runs bench.py unattended at
+    round end, and the tunneled TPU backend has been observed UNAVAILABLE
+    for hours at a stretch — one dead section (or a dead chip) must still
+    yield the single JSON line, with the failure recorded in place."""
+    import traceback
+
+    try:
+        return fn(*a, **k)
+    except BaseException as e:  # noqa: BLE001 — record and continue
+        traceback.print_exc()
+        return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
 def main():
+    if not chip_available():
+        # Emit the one JSON line with the failure recorded instead of
+        # hanging the driver: in-process jax init blocks indefinitely when
+        # the tunneled backend is down.
+        print(json.dumps({
+            "metric": "mwn_meta_steps_per_sec",
+            "value": None,
+            "unit": "steps/s",
+            "vs_baseline": None,
+            "error": "accelerator backend unavailable (device probe "
+                     "timed out); see bench.py chip_available()",
+        }))
+        return
     cache_warm = setup_compile_cache()
-    peak_hw, kind = peak_flops()
+    try:
+        peak_hw, kind = peak_flops()
+    except Exception as e:
+        peak_hw, kind = None, f"unavailable: {type(e).__name__}"
     solvers = {}
     flops_per_step = None
     for solver in ("darts", "cg", "neumann"):
-        med, peak, flops, hbm_static = bench_solver(solver)
+        res = _section(bench_solver, solver)
+        if isinstance(res, dict):  # error
+            solvers[solver] = res
+            continue
+        med, peak, flops, hbm_static = res
         row = {"median": round(med, 3), "peak": round(peak, 3)}
         if flops:
             row["gflops_per_meta_step"] = round(flops / 1e9, 3)
@@ -939,42 +992,59 @@ def main():
         solvers[solver] = row
         if solver == "darts" and flops:
             flops_per_step = flops
+    darts_ok = "median" in solvers.get("darts", {})
     # bf16 inner steps + fp32 hypergradients (the default solver_precision
     # policy): ~15% over fp32 on this workload
-    med, peak, flops, _ = bench_solver("darts", precision="bf16")
-    solvers["darts_bf16"] = {"median": round(med, 3), "peak": round(peak, 3)}
-    if flops and peak_hw:
-        solvers["darts_bf16"]["mfu"] = round(flops * med / peak_hw, 5)
+    res = _section(bench_solver, "darts", precision="bf16")
+    if isinstance(res, dict):
+        solvers["darts_bf16"] = res
+    else:
+        med, peak, flops, _ = res
+        solvers["darts_bf16"] = {"median": round(med, 3),
+                                 "peak": round(peak, 3)}
+        if flops and peak_hw:
+            solvers["darts_bf16"]["mfu"] = round(flops * med / peak_hw, 5)
 
     # two passes against shared-chip contention: a single pass can land
     # entirely in a noisy window and make the overhead figure meaningless
-    handwritten = max(bench_handwritten(), bench_handwritten())
-    overhead_pct = 100.0 * (1.0 - solvers["darts"]["peak"] / handwritten)
+    handwritten, overhead_pct = None, None
+    if darts_ok:
+        hw1 = _section(bench_handwritten)
+        hw2 = _section(bench_handwritten)
+        cands = [h for h in (hw1, hw2) if isinstance(h, float)]
+        if cands:
+            handwritten = max(cands)
+            overhead_pct = 100.0 * (
+                1.0 - solvers["darts"]["peak"] / handwritten)
 
     mfu = None
-    if flops_per_step and peak_hw:
+    if darts_ok and flops_per_step and peak_hw:
         mfu = flops_per_step * solvers["darts"]["median"] / peak_hw
 
-    wallclock = bench_wallclock_to_acc()
-    fused = bench_fused_ops()
-    flash = bench_flash_attention()
-    sama_tfm = bench_sama_transformer()
-    northstar = bench_sama_roberta_large(remat_policy="dots")
-    ref = bench_reference()
+    wallclock = _section(bench_wallclock_to_acc)
+    fused = _section(bench_fused_ops)
+    flash = _section(bench_flash_attention)
+    sama_tfm = _section(bench_sama_transformer)
+    northstar = _section(bench_sama_roberta_large, remat_policy="dots")
+    ref = _section(bench_reference)
+    if not isinstance(ref, (int, float)):
+        ref = None
     # None (not 1.0) when the reference could not run: a silent default of
     # parity would be indistinguishable from a measured 1.0x
-    vs = (solvers["darts"]["median"] / ref) if ref else None
+    vs = (solvers["darts"]["median"] / ref) if (ref and darts_ok) else None
 
     print(json.dumps({
         "metric": "mwn_meta_steps_per_sec",
-        "value": solvers["darts"]["median"],
+        "value": solvers["darts"].get("median"),
         "unit": "steps/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "solvers": solvers,
-        "handwritten_jax_peak_steps_per_sec": round(handwritten, 3),
+        "handwritten_jax_peak_steps_per_sec":
+            round(handwritten, 3) if handwritten else None,
         # peak-vs-peak: both sides' best windows (shared-chip contention
         # makes window-matched medians incomparable across the two programs)
-        "framework_overhead_pct": round(overhead_pct, 2),
+        "framework_overhead_pct":
+            round(overhead_pct, 2) if overhead_pct is not None else None,
         "model_gflops_per_meta_step":
             round(flops_per_step / 1e9, 3) if flops_per_step else None,
         "mfu_vs_bf16_peak": round(mfu, 5) if mfu is not None else None,
