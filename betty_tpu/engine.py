@@ -300,30 +300,8 @@ class Engine:
 
                 # cadence on the GLOBAL step so boundaries stay aligned
                 # across checkpoint resumes (== it when starting fresh)
-                if self.do_validation() and self.global_step % self.valid_step == 0:
-                    self.eval()
-                    validation_stats = self.validation() or {}
-                    if self.is_rank_zero():
-                        log_loss = log_from_loss_dict(validation_stats)
-                        self.logger.info(
-                            f"[Validation] [Global Step {self.global_step}] {log_loss}"
-                        )
-                        self.logger.log(
-                            validation_stats, tag="validation", step=self.global_step
-                        )
-                    self.train()
-
-                    if self.early_stopping is not None:
-                        if self.early_stopping(validation_stats):
-                            self.logger.info("Early stopping is executed!")
-                            break
-
-                if (
-                    self.config.checkpoint_step > 0
-                    and self.config.checkpoint_dir is not None
-                    and self.global_step % self.config.checkpoint_step == 0
-                ):
-                    self.save_checkpoint(self.config.checkpoint_dir)
+                if self.maybe_validate_checkpoint(window=1):
+                    break
         finally:
             if self.config.profile_dir:
                 jax.profiler.stop_trace()
@@ -354,6 +332,40 @@ class Engine:
                     f"from {self.config.checkpoint_dir}; "
                     f"{self.train_iters} iterations remain"
                 )
+
+    def maybe_validate_checkpoint(self, window: int = 1) -> bool:
+        """Validation / checkpointing on the driver cadence; a window of W
+        means global_step just advanced by W iterations and any multiple of
+        valid_step inside it triggers (window=1 == the classic per-iteration
+        check). Returns True when early stopping fires. ONE implementation
+        serves both run() and run_compiled() so the eval->validate->log->
+        train->early-stop->checkpoint sequence cannot drift between them."""
+        stop = False
+        if self.do_validation() and \
+                (self.global_step % self.valid_step) < window:
+            self.eval()
+            validation_stats = self.validation() or {}
+            if self.is_rank_zero():
+                self.logger.info(
+                    f"[Validation] [Global Step {self.global_step}] "
+                    f"{log_from_loss_dict(validation_stats)}"
+                )
+                self.logger.log(
+                    validation_stats, tag="validation",
+                    step=self.global_step,
+                )
+            self.train()
+            if self.early_stopping is not None:
+                if self.early_stopping(validation_stats):
+                    self.logger.info("Early stopping is executed!")
+                    stop = True
+        if (
+            self.config.checkpoint_step > 0
+            and self.config.checkpoint_dir is not None
+            and (self.global_step % self.config.checkpoint_step) < window
+        ):
+            self.save_checkpoint(self.config.checkpoint_dir)
+        return stop
 
     def run_compiled(self):
         """Compiled-block training loop: one XLA dispatch per schedule period
@@ -391,39 +403,7 @@ class Engine:
         try:
             it = 0
             stopped = False
-
-            def maybe_validate_checkpoint(window: int) -> bool:
-                """Validation / checkpointing on the driver cadence; a window
-                of W means global_step just advanced by W iterations and any
-                multiple of valid_step inside it triggers. Returns True when
-                early stopping fires."""
-                stop = False
-                if self.do_validation() and \
-                        (self.global_step % self.valid_step) < window:
-                    self.eval()
-                    validation_stats = self.validation() or {}
-                    if self.is_rank_zero():
-                        self.logger.info(
-                            f"[Validation] [Global Step {self.global_step}] "
-                            f"{log_from_loss_dict(validation_stats)}"
-                        )
-                        self.logger.log(
-                            validation_stats, tag="validation",
-                            step=self.global_step,
-                        )
-                    self.train()
-                    if self.early_stopping is not None:
-                        if self.early_stopping(validation_stats):
-                            self.logger.info("Early stopping is executed!")
-                            stop = True
-                if (
-                    self.config.checkpoint_step > 0
-                    and self.config.checkpoint_dir is not None
-                    and (self.global_step % self.config.checkpoint_step)
-                    < window
-                ):
-                    self.save_checkpoint(self.config.checkpoint_dir)
-                return stop
+            maybe_validate_checkpoint = self.maybe_validate_checkpoint
 
             # warmup phase: drive in (fully general) driver mode until every
             # problem is past its warmup and the schedule phase matches the

@@ -181,6 +181,20 @@ class IterativeProblem(Problem):
                 grad_acc = tree_add(grad_acc, g)
                 if mutated:
                     extra = {**extra, **mutated}
+                if problem.is_implemented("grad_callback"):
+                    # eager parity: the hook fires after EVERY micro-step on
+                    # the running accumulation (build_update_fn); its edits
+                    # flow through the differentiable replay
+                    from betty_tpu.problems.problem import _CtxBinding
+
+                    problem._trace_grads = grad_acc
+                    cc = dict(ctx)
+                    cc[problem.name] = {"params": state["params"],
+                                        "extra": extra}
+                    with _CtxBinding(cc, None, r):
+                        problem.grad_callback()
+                    grad_acc = problem._trace_grads
+                    problem._trace_grads = None
 
             step_state = dict(state)
             step_state["extra"] = extra
@@ -192,8 +206,11 @@ class IterativeProblem(Problem):
             c = dict(ctx)
             c[problem.name] = {"params": state["params"], "extra": extra}
             # same boundary logic as the eager path: clipping, callbacks,
-            # custom steps, last_grad — _apply_optimizer is the single source
-            step_state = problem._apply_optimizer(step_state, c, rng)
+            # custom steps, last_grad — _apply_optimizer is the single
+            # source (cross-problem hook edits cannot be threaded through a
+            # differentiable REPLAY of another problem's trajectory; they
+            # apply on the eager path)
+            step_state, _ = problem._apply_optimizer(step_state, c, rng)
             if advance:
                 step_state["sched_step"] = step_state["sched_step"] + 1
             return step_state, None

@@ -51,6 +51,7 @@ _TRACE_CTX: Optional[Dict[str, Dict[str, Any]]] = None
 _ACTIVE_CAPTURE: Optional[str] = None  # problem whose mutable collections are captured
 _CAPTURED_MUTATIONS: Dict[str, Any] = {}
 _TRACE_RNG: Optional[jax.Array] = None
+_TRACE_RNG_CALLS: int = 0  # per-binding self.rng read counter (see Problem.rng)
 _FORCE_FP32: bool = False  # solver_precision="fp32": skip bf16 casts in forward
 
 
@@ -83,16 +84,19 @@ class _CtxBinding:
         self.rng = rng
 
     def __enter__(self):
-        global _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG
-        self._saved = (_TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG)
+        global _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG, _TRACE_RNG_CALLS
+        self._saved = (_TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG,
+                       _TRACE_RNG_CALLS)
         _TRACE_CTX = self.ctx
         _ACTIVE_CAPTURE = self.active
         _TRACE_RNG = self.rng
+        _TRACE_RNG_CALLS = 0  # fresh read sequence per loss evaluation
         return self
 
     def __exit__(self, *exc):
-        global _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG
-        _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG = self._saved
+        global _TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG, _TRACE_RNG_CALLS
+        (_TRACE_CTX, _ACTIVE_CAPTURE, _TRACE_RNG,
+         _TRACE_RNG_CALLS) = self._saved
         return False
 
 
@@ -103,6 +107,19 @@ def ctx_replace(ctx, name, params):
     entry["params"] = params
     new[name] = entry
     return new
+
+
+def _collect_cross_ctx(post_ctx, base_ctx, own_name):
+    """Entries a traced hook edited on problems OTHER than its owner
+    (``set_params``/``set_extra`` replace entry dicts, so identity tells
+    edited from untouched)."""
+    if post_ctx is None or post_ctx is base_ctx:
+        return {}
+    return {
+        name: entry
+        for name, entry in post_ctx.items()
+        if name != own_name and entry is not base_ctx.get(name)
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -284,9 +301,21 @@ class Problem(abc.ABC):
         per-call counter, so repeated accesses within one step (e.g. several
         dropout forwards during validation) each get a fresh key. The call
         counter resets when the local step advances, keeping the sequence
-        reproducible per (step, call-index)."""
+        reproducible per (step, call-index).
+
+        Inside a trace the same rule applies with a per-loss-evaluation
+        counter: the FIRST read returns the step key verbatim (bit-compatible
+        with single-read programs) and later reads fold the call index, so
+        two independent samplings in one training_step are not silently
+        correlated. The counter resets at every loss evaluation, so darts'
+        +/-eps re-evaluations replay the identical key sequence."""
         if _TRACE_RNG is not None:
-            return _TRACE_RNG
+            global _TRACE_RNG_CALLS
+            idx = _TRACE_RNG_CALLS
+            _TRACE_RNG_CALLS = idx + 1
+            if idx == 0:
+                return _TRACE_RNG
+            return jax.random.fold_in(_TRACE_RNG, idx)
         if self._host_rng_last_count != self._count:
             self._host_rng_last_count = self._count
             self._host_rng_calls = 0
@@ -363,6 +392,25 @@ class Problem(abc.ABC):
                     shard_loader(dl) if isinstance(dl, ArrayLoader) else dl
                     for dl in self.train_data_loader
                 ]
+                unsharded = [
+                    type(dl).__name__ for dl in self.train_data_loader
+                    if not isinstance(dl, ArrayLoader)
+                ]
+                if unsharded:
+                    # a non-ArrayLoader serves the SAME batch on every host;
+                    # _convert_batch would assemble a global batch of
+                    # process_count duplicate copies — loud, because silent
+                    # data duplication corrupts gradients
+                    from betty_tpu.logging import get_logger
+
+                    get_logger().warning(
+                        f"[Betty-TPU] problem {self._name!r}: loaders "
+                        f"{unsharded} cannot be auto-sharded across "
+                        f"{jax.process_count()} processes — each host will "
+                        "contribute an identical local batch (duplicated "
+                        "examples in the global batch). Shard these loaders "
+                        "per host yourself, or use ArrayLoader."
+                    )
             self.train_data_iterator = [iter(dl) for dl in self.train_data_loader]
             self.epoch_counter = [0 for _ in self.train_data_loader]
             # batches consumed within the current epoch, per loader — the
@@ -442,15 +490,19 @@ class Problem(abc.ABC):
             kwargs = {k: tree_cast(v, self.dtype) for k, v in kwargs.items()}
 
         rngs = None
-        if _TRACE_RNG is not None and self._training:
+        if self._training:
             # one per-step key per rng collection the module consumes; the
             # first name keeps the step key itself (bit-compatible with the
-            # historical dropout-only behavior), later names get stable folds
+            # historical dropout-only behavior), later names get stable
+            # folds. Traced: the step key. Host (train-mode forwards inside
+            # hooks like on_inner_loop_start): the per-(step, call) host key
+            # — rngs=None here crashed any rng-consuming module.
             from betty_tpu.utils import fold_rng_name
 
+            step_key = _TRACE_RNG if _TRACE_RNG is not None else self.rng
             names = getattr(self.module_fn, "rng_names", ("dropout",))
             rngs = {
-                name: _TRACE_RNG if i == 0 else fold_rng_name(_TRACE_RNG, name)
+                name: step_key if i == 0 else fold_rng_name(step_key, name)
                 for i, name in enumerate(names)
             }
         mutable = self.module_fn.mutable_collections if self._training else ()
@@ -568,10 +620,18 @@ class Problem(abc.ABC):
             for path in problem._paths:
                 path_children[path[1].name] = path[1]
         itd_names = {c.name for c in itd_children}
+        # v = d(loss)/d(child params) must be exactly fp32 under
+        # solver_precision="fp32"; the joint pass runs WITHOUT force_fp32,
+        # so skip it when ANY forward on the loss path would cast to reduced
+        # precision — this problem's or a path child's (the loss calls the
+        # child's forward, which casts by the CHILD's precision)
+        reduced_precision = problem.precision in ("fp16", "bf16") or any(
+            ch.precision in ("fp16", "bf16") for ch in path_children.values()
+        )
         joint_v = (
             has_paths
             and not (
-                problem.precision in ("fp16", "bf16")
+                reduced_precision
                 and problem._config.solver_precision == "fp32"
             )
             # an ITD replay would shadow the child-params substitution
@@ -632,8 +692,25 @@ class Problem(abc.ABC):
                     mutated = tree_cast(mutated, jnp.float32)
                 state["extra"] = {**state["extra"], **mutated}
 
+            # grad_callback hook: after EVERY micro-step, on the running
+            # accumulation (reference problem.py:352-354 fires it after each
+            # backward, before the accumulation-boundary check)
+            cross_updates = {}
+            if problem.is_implemented("grad_callback"):
+                problem._trace_grads = state["grad_acc"]
+                hook_ctx = dict(ctx)
+                hook_ctx[problem._name] = {"params": state["params"],
+                                           "extra": state["extra"]}
+                with _CtxBinding(hook_ctx, None, rng):
+                    problem.grad_callback()
+                    cross_updates.update(_collect_cross_ctx(
+                        _TRACE_CTX, hook_ctx, problem._name))
+                state["grad_acc"] = problem._trace_grads
+                problem._trace_grads = None
+
             if apply_update:
-                state = problem._apply_optimizer(state, ctx, rng)
+                state, cross = problem._apply_optimizer(state, ctx, rng)
+                cross_updates.update(cross)
 
             # per-inner-step scheduler counter. Reference semantics
             # (problem.py:391-392, 426-428): with roll_back the scheduler is
@@ -642,6 +719,13 @@ class Problem(abc.ABC):
                 state["sched_step"] = state["sched_step"] + 1
 
             new_states = dict(states)
+            # hooks may set_params/extra on OTHER problems (reference hooks
+            # mutate modules in place); merge those context edits back
+            for name, entry in cross_updates.items():
+                ns = dict(new_states[name])
+                ns["params"] = entry["params"]
+                ns["extra"] = entry["extra"]
+                new_states[name] = ns
             new_states[problem._name] = state
             return new_states, loss_dict
 
@@ -649,7 +733,11 @@ class Problem(abc.ABC):
 
     def _apply_optimizer(self, state, ctx, rng):
         """Optimizer step at a gradient-accumulation boundary
-        (reference ``implicit_problem.py:40-65``)."""
+        (reference ``implicit_problem.py:40-65``). Returns
+        ``(new_state, cross_updates)`` where ``cross_updates`` carries
+        params/extra that a traced ``param_callback`` set on OTHER problems
+        (discarding them silently was a bug — the reference's hooks mutate
+        modules in place, any module)."""
         grads = state["grad_acc"]
 
         def self_ctx(cur_state):
@@ -662,14 +750,7 @@ class Problem(abc.ABC):
             }
             return new
 
-        # grad_callback hook (reference problem.py:352-353), traced
-        if self.is_implemented("grad_callback"):
-            self._trace_grads = grads
-            with _CtxBinding(self_ctx(state), None, rng):
-                self.grad_callback()
-            grads = self._trace_grads
-            self._trace_grads = None
-
+        cross_updates = {}
         if self.gradient_clipping > 0.0:
             grads = clip_by_global_norm(grads, self.gradient_clipping)
 
@@ -694,16 +775,20 @@ class Problem(abc.ABC):
             state["last_grad"] = grads
 
         # param_callback hook (reference problem.py:359-361), traced; may
-        # mutate params (clamping) and/or extra collections (EMA teachers)
+        # mutate params (clamping) and/or extra collections (EMA teachers),
+        # on this problem or on others (cross edits returned to the caller)
         if self.is_implemented("param_callback"):
             global _TRACE_CTX
-            with _CtxBinding(self_ctx(state), None, rng):
+            base = self_ctx(state)
+            with _CtxBinding(base, None, rng):
                 self.param_callback()
                 state["params"] = _TRACE_CTX[self._name]["params"]
                 state["extra"] = _TRACE_CTX[self._name]["extra"]
+                cross_updates.update(
+                    _collect_cross_ctx(_TRACE_CTX, base, self._name))
 
         state["grad_acc"] = tree_zeros_like(state["grad_acc"])
-        return state
+        return state, cross_updates
 
     def _get_update_fn(self, apply_update: bool, advance_sched: bool = True) -> Callable:
         key = (bool(apply_update), bool(advance_sched))

@@ -229,3 +229,74 @@ def test_host_rng_fresh_per_call():
     q._count = 1
     k3 = np.asarray(q.rng)
     assert not np.array_equal(k3, k1) and not np.array_equal(k3, k2)
+
+
+def test_grad_callback_fires_per_micro_step():
+    """Reference semantics (problem.py:352-354): grad_callback runs after
+    EVERY micro-step on the running accumulation — with gas=2 a callback
+    adding c ends the boundary with (g1+g2)/gas + 2c, not + c."""
+    from betty_tpu import Engine, ImplicitProblem, optim
+    from betty_tpu.module import from_fn
+
+    class P(ImplicitProblem):
+        def training_step(self, batch):
+            return (self.params["w"] * batch).sum()
+
+        def grad_callback(self):
+            self.set_grads_value(jax.tree_util.tree_map(
+                lambda g: g + 1.0, self.grads))
+
+    prob = P("p",
+             module=from_fn(lambda pr: pr["w"], {"w": jnp.zeros(())}),
+             optimizer=optim.sgd(lr=0.1),
+             train_data_loader=[jnp.asarray(1.0), jnp.asarray(3.0)],
+             config=Config(gradient_accumulation=2))
+    eng = Engine(config=EngineConfig(train_iters=2), problems=[prob],
+                 dependencies={"u2l": {}, "l2u": {}})
+    eng.run()
+    # micro grads (1 + c) with g1/gas = 0.5 -> 1.5, then 1.5 + 1 -> acc 4.0
+    w = float(eng.states["p"]["params"]["w"])
+    assert abs(w - (-0.4)) < 1e-6, w
+
+
+def test_param_callback_cross_problem_set_params():
+    """A traced param_callback may set ANOTHER problem's params (the
+    reference's hooks mutate modules in place — e.g. a student->teacher EMA
+    copy); the edit must land in engine state, not be silently dropped."""
+    from betty_tpu import Engine, ImplicitProblem, optim
+    from betty_tpu.module import from_fn
+
+    class Student(ImplicitProblem):
+        def training_step(self, batch):
+            return ((self.params["w"] - batch) ** 2).sum()
+
+        def param_callback(self):
+            ema = jax.tree_util.tree_map(
+                lambda t, p: 0.5 * t + 0.5 * p,
+                self.teacher.params, self.params)
+            self.teacher.set_params(ema)
+
+    class Teacher(ImplicitProblem):
+        def training_step(self, batch):
+            return (self.params["w"] * 0.0).sum()
+
+    student = Student(
+        "student", module=from_fn(lambda pr: pr["w"], {"w": jnp.ones(3)}),
+        optimizer=optim.sgd(lr=0.5),
+        train_data_loader=[jnp.zeros(3)], config=Config())
+    teacher = Teacher(
+        "teacher", module=from_fn(lambda pr: pr["w"], {"w": 5.0 * jnp.ones(3)}),
+        optimizer=optim.sgd(lr=0.0),
+        train_data_loader=[jnp.zeros(3)],
+        config=Config(unroll_steps=1000000))  # never steps on its own
+    eng = Engine(config=EngineConfig(train_iters=1),
+                 problems=[student, teacher],
+                 dependencies={"u2l": {}, "l2u": {}})
+    eng.run()
+    # student: w=1, grad 2(w-0)=2, lr .5 -> w'=0; the callback then EMAs the
+    # teacher from its initial 5.0 toward the updated student: 2.5 != 5.0,
+    # so a silently-dropped edit fails loudly here
+    t = np.asarray(eng.states["teacher"]["params"]["w"])
+    s = np.asarray(eng.states["student"]["params"]["w"])
+    assert np.allclose(s, 0.0), s
+    assert np.allclose(t, 2.5), t
