@@ -644,7 +644,7 @@ def transformer_fwd_flops(n_matmul_params, batch, seq, heads, head_dim,
 
 def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
                              remat=True, remat_policy="full",
-                             rng_impl="rbg"):
+                             rng_impl="rbg", batch=32, seq=128):
     """THE north-star scale (BASELINE.md): SAMA data reweighting with a
     RoBERTa-large-sized encoder (355M params, 24L/1024d/16h) on the real
     chip — bf16, unroll 5, compiled-block mode, device-resident data.
@@ -671,7 +671,7 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
 
     from betty_tpu.compile import BlockRunner
 
-    BATCH_NS, SEQ = 32, 128
+    BATCH_NS, SEQ = batch, seq
     argv = [
         "--model", "large", "--train_iters", "0",
         "--batch_size", str(BATCH_NS), "--seq_len", str(SEQ),
