@@ -1,0 +1,226 @@
+"""Randomized multilevel-graph parity vs the ACTUAL reference library.
+
+The fixed-scenario harness (reference_parity_impl.py) proves trajectory
+parity on the named workload graphs. This one fuzzes the GRAPH MECHANICS:
+random leveled DAGs (2-4 levels, <=6 problems, random fan-in/out, random
+unroll_steps) are built identically in reference betty and betty_tpu, and
+the oracle is the reference itself:
+
+* ``problem.paths`` (hypergradient paths, names, order within each path)
+* ``engine.leaves``
+* per-problem ``count`` after N engine steps (the unroll scheduling
+  contract, reference problems/problem.py:371-454)
+* full per-step parameter trajectories of every problem (darts solver,
+  float64, tol 1e-6)
+
+Run as a subprocess with JAX_ENABLE_X64 (see test_reference_parity.py's
+pattern); prints one OK/FAIL line per sampled graph.
+
+Graph sampling is conservative-by-construction: layered DAGs with l2u as
+the exact reverse of u2l — the documented usage shape (the asymmetric-map
+variants are covered by the fixed LBI scenario).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/root/reference")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+torch.set_default_dtype(torch.float64)
+
+from betty.engine import Engine as RefEngine
+from betty.configs import Config as RefConfig, EngineConfig as RefEngineConfig
+from betty.problems import ImplicitProblem as RefImplicitProblem
+
+from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
+from betty_tpu.module import from_fn
+
+DIM = 8
+TOL = 1e-6
+ITERS = 6
+
+
+def sample_graph(rng):
+    """A layered DAG: levels[0] is leaf-most. Returns (names per level,
+    u2l edges {upper: [lowers]}, unroll per name, init vectors, targets)."""
+    n_levels = rng.randint(2, 5)
+    levels, total = [], 0
+    for li in range(n_levels):
+        k = 1 if total >= 4 else rng.randint(1, 3)
+        levels.append([f"p{total + j}" for j in range(k)])
+        total += k
+    u2l = {}
+    for li in range(1, n_levels):
+        for up in levels[li]:
+            lows = [lo for lo in levels[li - 1] if rng.rand() < 0.6]
+            if not lows:
+                lows = [levels[li - 1][rng.randint(len(levels[li - 1]))]]
+            u2l[up] = lows
+    # every lower must have an upper, or it would be a disconnected root
+    for li in range(1, n_levels):
+        for lo in levels[li - 1]:
+            if not any(lo in v for up, v in u2l.items() if up in levels[li]):
+                up = levels[li][rng.randint(len(levels[li]))]
+                u2l[up] = u2l[up] + [lo]
+    names = [n for lvl in levels for n in lvl]
+    unroll = {n: (int(rng.randint(1, 4)) if any(
+        n in v for v in u2l.values()) else 1) for n in names}
+    inits = {n: 0.3 * rng.randn(DIM) for n in names}
+    targets = {(up, lo): 0.5 * rng.randn(DIM)
+               for up, lows in u2l.items() for lo in lows}
+    return levels, u2l, unroll, inits, targets
+
+
+def loss_terms(w, lowers, uppers, targets, name, backend):
+    """Shared loss shape: own anchor + per-u2l-edge pull toward a fixed
+    target (upper depends on lower's params) + per-l2u-edge coupling
+    (lower depends on upper's params) — every graph edge is exercised in
+    both directions of the hypergradient."""
+    sq = (lambda t: torch.sum(t ** 2)) if backend == "torch" else (
+        lambda t: jnp.sum(t ** 2))
+    loss = 0.05 * sq(w - 1.0)
+    for lo_name, lo_w in lowers:
+        loss = loss + 0.1 * sq(lo_w - targets[(name, lo_name)])
+    for up_w in uppers:
+        loss = loss + 0.05 * sq(up_w * w)
+    return loss
+
+
+def build_problem_classes(name, lows, ups, targets, backend):
+    base = RefImplicitProblem if backend == "torch" else ImplicitProblem
+
+    def training_step(self, batch):
+        w = self.module()
+        lowers = [(lo, getattr(self, lo)()) for lo in lows]
+        uppers = [getattr(self, up)() for up in ups]
+        return loss_terms(w, lowers, uppers, targets, name, backend)
+
+    return type(f"{backend}_{name}", (base,), {"training_step": training_step})
+
+
+def run_case(trial, rng):
+    levels, u2l, unroll, inits, targets = sample_graph(rng)
+    names = [n for lvl in levels for n in lvl]
+    l2u = {}
+    for up, lows in u2l.items():
+        for lo in lows:
+            l2u.setdefault(lo, []).append(up)
+    ups_of = {n: l2u.get(n, []) for n in names}
+    lows_of = {n: u2l.get(n, []) for n in names}
+
+    # ---- reference
+    ref_problems = {}
+    for n in names:
+        class Net(torch.nn.Module):
+            def __init__(self, w0):
+                super().__init__()
+                self.w = torch.nn.Parameter(torch.as_tensor(w0.copy()))
+
+            def forward(self):
+                return self.w
+
+        cls = build_problem_classes(
+            n, lows_of[n], ups_of[n],
+            {k: torch.as_tensor(v) for k, v in targets.items()}, "torch")
+        mod = Net(inits[n])
+        ref_problems[n] = cls(
+            name=n, module=mod,
+            optimizer=torch.optim.SGD(mod.parameters(), lr=0.05),
+            train_data_loader=[(torch.zeros(1),)],
+            config=RefConfig(retain_graph=True, unroll_steps=unroll[n]),
+        )
+    ref_engine = RefEngine(
+        config=RefEngineConfig(train_iters=ITERS),
+        problems=list(ref_problems.values()),
+        dependencies={
+            "u2l": {ref_problems[u]: [ref_problems[l] for l in v]
+                    for u, v in u2l.items()},
+            "l2u": {ref_problems[l]: [ref_problems[u] for u in v]
+                    for l, v in l2u.items()},
+        },
+    )
+
+    # ---- betty_tpu
+    jax_problems = {}
+    for n in names:
+        cls = build_problem_classes(n, lows_of[n], ups_of[n],
+                                    {k: jnp.asarray(v)
+                                     for k, v in targets.items()}, "jax")
+        jax_problems[n] = cls(
+            name=n,
+            module=from_fn(lambda p: p["w"], {"w": jnp.asarray(inits[n])}),
+            optimizer=optim.sgd(lr=0.05),
+            train_data_loader=[(jnp.zeros(1),)],
+            config=Config(retain_graph=True, unroll_steps=unroll[n]),
+        )
+    jax_engine = Engine(
+        config=EngineConfig(train_iters=ITERS),
+        problems=list(jax_problems.values()),
+        dependencies={
+            "u2l": {jax_problems[u]: [jax_problems[l] for l in v]
+                    for u, v in u2l.items()},
+            "l2u": {jax_problems[l]: [jax_problems[u] for u in v]
+                    for l, v in l2u.items()},
+        },
+    )
+
+    desc = (f"graph#{trial} levels={[len(l) for l in levels]} "
+            f"u2l={ {u: v for u, v in sorted(u2l.items())} } "
+            f"unroll={ {n: unroll[n] for n in names} }")
+
+    # structural parity first (cheap, independent of numerics)
+    ref_paths = {n: sorted([q.name for q in p] for p in ref_problems[n].paths)
+                 for n in names}
+    jax_paths = {n: sorted([q.name for q in p] for p in jax_problems[n].paths)
+                 for n in names}
+    if ref_paths != jax_paths:
+        print(f"FAIL {desc}: paths differ\n ref={ref_paths}\n jax={jax_paths}")
+        return False
+    ref_leaves = sorted(p.name for p in ref_engine.leaves)
+    jax_leaves = sorted(p.name for p in jax_engine.leaves)
+    if ref_leaves != jax_leaves:
+        print(f"FAIL {desc}: leaves differ ref={ref_leaves} jax={jax_leaves}")
+        return False
+
+    err = 0.0
+    for _ in range(ITERS):
+        ref_engine.train_step()
+        jax_engine.global_step += 1
+        jax_engine.train_step()
+        for n in names:
+            e = float(np.max(np.abs(
+                ref_problems[n].module.w.detach().numpy()
+                - np.asarray(jax_engine.states[n]["params"]["w"]))))
+            err = max(err, e)
+
+    counts_ref = {n: ref_problems[n].count for n in names}
+    counts_jax = {n: jax_problems[n].count for n in names}
+    if counts_ref != counts_jax:
+        print(f"FAIL {desc}: counts differ ref={counts_ref} jax={counts_jax}")
+        return False
+    ok = err <= TOL
+    print(f"{'OK ' if ok else 'FAIL'} {desc}: counts={counts_jax} "
+          f"max traj |diff| = {err:.3e}")
+    return ok
+
+
+def main():
+    rng = np.random.RandomState(11)
+    results = [run_case(t, rng) for t in range(6)]
+    if not all(results):
+        sys.exit(1)
+    print(f"all {len(results)} random graphs match the reference")
+
+
+if __name__ == "__main__":
+    main()

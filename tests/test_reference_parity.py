@@ -36,3 +36,27 @@ def test_engine_trajectory_parity_vs_reference():
     print(result.stdout)
     print(result.stderr, file=sys.stderr)
     assert result.returncode == 0, "engine trajectories diverge from reference betty"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/betty"),
+    reason="reference library not present",
+)
+def test_random_graph_parity_vs_reference():
+    """Fuzzed multilevel DAGs (paths/leaves/counts/trajectories) against
+    the actual reference engine — see graph_fuzz_impl.py."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "graph_fuzz_impl.py"),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+    )
+    print(result.stdout)
+    print(result.stderr, file=sys.stderr)
+    assert result.returncode == 0, "random-graph mechanics diverge from reference betty"
