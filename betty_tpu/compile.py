@@ -24,7 +24,7 @@ block-locally tracked start states and batches. Remaining restriction:
 hooks must be jnp-traceable (host-side side effects need driver mode).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import List
 
 import jax
@@ -82,16 +82,84 @@ class _Simulator:
         )
 
     def run(self):
-        initial = self.phase()
+        """Returns (events of one steady-state cycle, its length in engine
+        iterations, the phase at the cycle start).
+
+        The cycle need not pass through the t=0 phase: graphs with uneven
+        fan-in can have a transient prefix (e.g. a parent's ``ready`` flags
+        are never again all False simultaneously) — the engine drives that
+        prefix in driver mode until the live phase matches the returned
+        start phase. Among the cycle's possible start iterations, pick one
+        that is *causally complete*: every hypergradient event must be
+        preceded within the block by events of all its path intermediates
+        (their current batches are staged per event — an upper stepping
+        before a lower's first in-block event has no batch to read)."""
+        def counts():
+            return {n: s.count for n, s in self.state.items()}
+
+        snaps = [(self.phase(), 0, counts())]  # after k iters: phase/ev/cnt
+        index = {snaps[0][0]: 0}
         for it in range(self.MAX_ITERS):
             for leaf in self.engine.leaves:
                 self.sim_step(leaf)
-            if self.phase() == initial:
-                return self.events, it + 1
+            ph = self.phase()
+            if ph in index:
+                j = index[ph]
+                end_counts = counts()
+                delta = {n: end_counts[n] - snaps[j][2][n]
+                         for n in end_counts}
+                return self._extract_cycle(snaps, j, it + 1 - j, delta)
+            index[ph] = len(snaps)
+            snaps.append((ph, len(self.events), counts()))
         raise RuntimeError(
             "Could not find a periodic schedule within "
             f"{self.MAX_ITERS} engine iterations; use driver mode."
         )
+
+    def _extract_cycle(self, snaps, j, period, delta):
+        ev_j, ev_end = snaps[j][1], len(self.events)
+        for m in range(j, j + period):
+            ph_m, ev_m, base_m = snaps[m]
+            head = self.events[ev_m:ev_end]
+            tail = self.events[ev_j:ev_m]  # wraps into the next period
+            if not self._causally_complete(head + tail):
+                continue
+            # count_offset is consumed RELATIVE to the live counts at block
+            # entry (counts0 + offset): rebase the absolute sim counts by
+            # the rotation-start counts; wrapped events re-occur one period
+            # later, so they additionally advance by the per-period delta
+            out = [replace(e, count_offset=e.count_offset - base_m[e.name])
+                   for e in head]
+            out += [replace(e, count_offset=e.count_offset
+                            + delta[e.name] - base_m[e.name])
+                    for e in tail]
+            return out, period, ph_m
+        raise RuntimeError(
+            "The schedule's steady-state cycle has no causally-complete "
+            "block boundary (a hypergradient step would precede its path "
+            "intermediates' batches in every rotation); use driver mode."
+        )
+
+    def _causally_complete(self, events):
+        done = set()
+        for e in events:
+            p = self.problems[e.name]
+            if e.reuse_batch and e.name not in done:
+                return False
+            if p._paths and any(
+                q.name not in done for q in p._path_intermediates()
+            ):
+                return False
+            # ITD parents replay their children's batches collected since
+            # the unroll start — the whole unroll must sit inside the block
+            if any(
+                hasattr(c, "replay_unroll") and not c._first_order
+                and c.name not in done
+                for c in p.children
+            ):
+                return False
+            done.add(e.name)
+        return True
 
     # -- mirrors Problem.step -------------------------------------------
     def sim_step(self, p):
@@ -217,8 +285,7 @@ class BlockRunner:
         self.problems = {p.name: p for p in engine.problems}
 
         sim = _Simulator(engine)
-        self.initial_phase = sim.phase()
-        self.events, self.period = sim.run()
+        self.events, self.period, self.initial_phase = sim.run()
         if schedule_only:
             return
         self.segments = compress(self.events, self.problems)

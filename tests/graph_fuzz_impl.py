@@ -108,6 +108,33 @@ def build_problem_classes(name, lows, ups, targets, backend):
     return type(f"{backend}_{name}", (base,), {"training_step": training_step})
 
 
+def build_jax_engine(names, u2l, l2u, ups_of, lows_of, unroll, inits,
+                     targets, iters, compile_blocks=False):
+    problems = {}
+    for n in names:
+        cls = build_problem_classes(n, lows_of[n], ups_of[n],
+                                    {k: jnp.asarray(v)
+                                     for k, v in targets.items()}, "jax")
+        problems[n] = cls(
+            name=n,
+            module=from_fn(lambda p: p["w"], {"w": jnp.asarray(inits[n])}),
+            optimizer=optim.sgd(lr=0.05),
+            train_data_loader=[(jnp.zeros(1),)],
+            config=Config(retain_graph=True, unroll_steps=unroll[n]),
+        )
+    engine = Engine(
+        config=EngineConfig(train_iters=iters, compile_blocks=compile_blocks),
+        problems=list(problems.values()),
+        dependencies={
+            "u2l": {problems[u]: [problems[l] for l in v]
+                    for u, v in u2l.items()},
+            "l2u": {problems[l]: [problems[u] for u in v]
+                    for l, v in l2u.items()},
+        },
+    )
+    return engine, problems
+
+
 def run_case(trial, rng):
     levels, u2l, unroll, inits, targets = sample_graph(rng)
     names = [n for lvl in levels for n in lvl]
@@ -151,28 +178,8 @@ def run_case(trial, rng):
     )
 
     # ---- betty_tpu
-    jax_problems = {}
-    for n in names:
-        cls = build_problem_classes(n, lows_of[n], ups_of[n],
-                                    {k: jnp.asarray(v)
-                                     for k, v in targets.items()}, "jax")
-        jax_problems[n] = cls(
-            name=n,
-            module=from_fn(lambda p: p["w"], {"w": jnp.asarray(inits[n])}),
-            optimizer=optim.sgd(lr=0.05),
-            train_data_loader=[(jnp.zeros(1),)],
-            config=Config(retain_graph=True, unroll_steps=unroll[n]),
-        )
-    jax_engine = Engine(
-        config=EngineConfig(train_iters=ITERS),
-        problems=list(jax_problems.values()),
-        dependencies={
-            "u2l": {jax_problems[u]: [jax_problems[l] for l in v]
-                    for u, v in u2l.items()},
-            "l2u": {jax_problems[l]: [jax_problems[u] for u in v]
-                    for l, v in l2u.items()},
-        },
-    )
+    jax_engine, jax_problems = build_jax_engine(
+        names, u2l, l2u, ups_of, lows_of, unroll, inits, targets, ITERS)
 
     desc = (f"graph#{trial} levels={[len(l) for l in levels]} "
             f"u2l={ {u: v for u, v in sorted(u2l.items())} } "
@@ -208,9 +215,37 @@ def run_case(trial, rng):
     if counts_ref != counts_jax:
         print(f"FAIL {desc}: counts differ ref={counts_ref} jax={counts_jax}")
         return False
-    ok = err <= TOL
+    if err > TOL:
+        print(f"FAIL {desc}: max traj |diff| = {err:.3e}")
+        return False
+
+    # ---- compiled-block mode ≡ driver mode on the same random graph
+    # (schedule simulation + lax.scan fusion for arbitrary unroll combos).
+    # Enough iters to cover >=1 full schedule period for unroll products
+    # up to 27 plus a driver-mode remainder tail.
+    iters_blk = 30
+    e_drv, p_drv = build_jax_engine(names, u2l, l2u, ups_of, lows_of,
+                                    unroll, inits, targets, iters_blk)
+    e_blk, p_blk = build_jax_engine(names, u2l, l2u, ups_of, lows_of,
+                                    unroll, inits, targets, iters_blk,
+                                    compile_blocks=True)
+    e_drv.run()
+    e_blk.run()
+    blk_err = 0.0
+    for n in names:
+        blk_err = max(blk_err, float(np.max(np.abs(
+            np.asarray(e_drv.states[n]["params"]["w"])
+            - np.asarray(e_blk.states[n]["params"]["w"])))))
+    counts_drv = {n: p_drv[n].count for n in names}
+    counts_blk = {n: p_blk[n].count for n in names}
+    if counts_drv != counts_blk:
+        print(f"FAIL {desc}: block counts differ driver={counts_drv} "
+              f"block={counts_blk}")
+        return False
+    ok = blk_err <= TOL
     print(f"{'OK ' if ok else 'FAIL'} {desc}: counts={counts_jax} "
-          f"max traj |diff| = {err:.3e}")
+          f"max traj |diff| = {err:.3e}, block-vs-driver |diff| = "
+          f"{blk_err:.3e}")
     return ok
 
 
