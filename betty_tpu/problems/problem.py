@@ -973,7 +973,13 @@ class Problem(abc.ABC):
         self._state_cache = self.state  # immutable pytree: reference suffices
 
     def recover_states(self):
-        assert self._state_cache is not None, "no cached state to recover"
+        # A problem that has never stepped (e.g. an upper whose unroll
+        # boundary hasn't been reached when a sibling's roll-back recovery
+        # cascades to it) has nothing cached: recovery is a no-op — its
+        # state IS the pre-unroll state. (The reference crashes here:
+        # load_state_dict(None), implicit_problem.py:73.)
+        if self._state_cache is None:
+            return
         self.state = self._state_cache
         self._state_cache = None
 
