@@ -47,6 +47,10 @@ class Event:
     rollback_recover: bool = False
     reuse_batch: bool = False
     count_offset: int = 0  # problem-local count at execution time (post-inc)
+    # statically known that this recover's cache-creating inner_loop_start
+    # precedes it within the block (unrotated schedules: always True); when
+    # False the restore is gated on the carried validity flag at runtime
+    cache_sure: bool = False
 
 
 @dataclass
@@ -142,6 +146,7 @@ class _Simulator:
 
     def _causally_complete(self, events):
         done = set()
+        started = set()  # problems whose inner_loop_start occurred in-block
         for e in events:
             p = self.problems[e.name]
             if e.reuse_batch and e.name not in done:
@@ -151,13 +156,17 @@ class _Simulator:
             ):
                 return False
             # ITD parents replay their children's batches collected since
-            # the unroll start — the whole unroll must sit inside the block
+            # the unroll start — the whole unroll (from its
+            # inner_loop_start, which seeds itd_start) must sit inside the
+            # block: a mid-window rotation has no replay starting point
             if any(
                 hasattr(c, "replay_unroll") and not c._first_order
-                and c.name not in done
+                and c.name not in started
                 for c in p.children
             ):
                 return False
+            if e.inner_loop_start:
+                started.add(e.name)
             done.add(e.name)
         return True
 
@@ -288,6 +297,28 @@ class BlockRunner:
         self.events, self.period, self.initial_phase = sim.run()
         if schedule_only:
             return
+        # The roll-back cache is CARRIED through the block (and across
+        # blocks): a causal rotation may place a window's recover before
+        # its cache-creating inner_loop_start — the cache then comes from
+        # the previous period (previous block / the driver warmup phase,
+        # seeded from the live ``Problem._state_cache``). Mark the recovers
+        # whose in-block start statically precedes them so the common
+        # unrotated schedule pays no runtime validity select.
+        # ``started`` holds problems whose cache is statically live: set at
+        # their inner_loop_start, consumed (cleared, like driver
+        # recover_states) by their recover — a second recover before the
+        # next window start must NOT restore.
+        started = set()
+        for e in self.events:
+            if e.rollback_recover:
+                e.cache_sure = e.name in started
+                started.discard(e.name)
+            if e.inner_loop_start:
+                started.add(e.name)
+        self._rb_names = sorted(
+            {e.name for e in self.events
+             if self.problems[e.name]._roll_back}
+        )
         self.segments = compress(self.events, self.problems)
         # count advancement per period (rollback re-steps do not advance)
         self.count_delta = {
@@ -361,11 +392,17 @@ class BlockRunner:
         donate = ()
         if engine.config.donate_state and not any(
             hasattr(p, "replay_unroll") for p in engine.problems
-        ):
+        ) and not self._rb_names:
             # (ITD problems may hold host references to pre-unroll states
-            # captured during warmup/remainder driver phases)
+            # captured during warmup/remainder driver phases; roll-back
+            # graphs seed the carried cache from live state references at
+            # the first block, which would alias the donated buffers)
             donate = (0,)
         self._jit_block = jax.jit(self._block, donate_argnums=donate)
+        # device-side roll-back cache carried between blocks (seeded from
+        # the driver's live caches at the first dispatch)
+        self._live_cache = None
+        self._live_valid = None
 
     # -- host side -------------------------------------------------------
     def collect_batches(self):
@@ -519,15 +556,33 @@ class BlockRunner:
             name: np.int32(self.problems[name]._count)
             for name in self.problems
         }
+        if self._live_cache is None:
+            # first block: seed from the driver's live roll-back caches
+            # (warmup phases hold the pre-unroll state of any window the
+            # rotation enters mid-flight); a problem that never started a
+            # window has no cache — its recover is a no-op restore, exactly
+            # like driver recover_states on an empty cache
+            self._live_cache, self._live_valid = {}, {}
+            for name in self._rb_names:
+                p = self.problems[name]
+                has = p._state_cache is not None
+                self._live_cache[name] = (
+                    p._state_cache if has else engine.states[name]
+                )
+                self._live_valid[name] = np.bool_(has)
         # abstract arg shapes for AOT cost analysis (bench.py MFU line);
         # ShapeDtypeStructs stay valid even when the call donates its inputs
         self._last_abstract_args = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
             if hasattr(x, "shape") else x,
-            (engine.states, seg_batches, counts0, self.datasets),
+            (engine.states, self._live_cache, self._live_valid,
+             seg_batches, counts0, self.datasets),
         )
-        new_states, last_loss = self._jit_block(
-            engine.states, seg_batches, counts0, self.datasets
+        new_states, self._live_cache, self._live_valid, last_loss = (
+            self._jit_block(
+                engine.states, self._live_cache, self._live_valid,
+                seg_batches, counts0, self.datasets,
+            )
         )
         engine.states = new_states
         self._materialize_cur_batches()
@@ -548,26 +603,47 @@ class BlockRunner:
             p.train_data_iterator[0] = ld.iter_from(epoch, served)
         return last_loss
 
+    def finalize(self):
+        """Sync the device-side roll-back cache back into the problems'
+        live ``_state_cache`` so subsequent driver-mode phases (remainder
+        iterations, checkpointing) see the in-block window state. One tiny
+        bool readback per roll-back problem, once per block phase."""
+        if self._live_cache is None:
+            return
+        for name in self._rb_names:
+            p = self.problems[name]
+            p._state_cache = (
+                self._live_cache[name]
+                if bool(self._live_valid[name]) else None
+            )
+
     # -- traced block ------------------------------------------------------
-    def _block(self, states, seg_batches, counts0, datasets):
+    def _block(self, states, cache, valid, seg_batches, counts0, datasets):
         if self.scan_periods == 1:
-            return self._one_period(states, seg_batches, counts0, datasets)
+            return self._one_period(
+                states, cache, valid, seg_batches, counts0, datasets
+            )
 
         ks = jnp.arange(self.scan_periods, dtype=jnp.int32)
 
         def period_body(carry, xs):
             per_seg, k = xs
+            st, ca, va = carry
             counts_k = {
                 n: counts0[n] + k * self.count_delta[n] for n in counts0
             }
-            new_carry, last_loss = self._one_period(
-                carry, per_seg, counts_k, datasets
+            st, ca, va, last_loss = self._one_period(
+                st, ca, va, per_seg, counts_k, datasets
             )
-            return new_carry, last_loss
+            return (st, ca, va), last_loss
 
-        states, losses = jax.lax.scan(period_body, states, (seg_batches, ks))
+        # the validity flags enter as host bools; the carry needs arrays
+        valid = {n: jnp.asarray(v) for n, v in valid.items()}
+        (states, cache, valid), losses = jax.lax.scan(
+            period_body, (states, cache, valid), (seg_batches, ks)
+        )
         last_loss = jax.tree_util.tree_map(lambda x: x[-1], losses)
-        return states, last_loss
+        return states, cache, valid, last_loss
 
     def live_phase(self):
         """Current host phase of the engine's problems (for warmup
@@ -583,9 +659,9 @@ class BlockRunner:
             for s_count in (p._count,)
         )
 
-    def _one_period(self, states, seg_batches, counts0, datasets):
+    def _one_period(self, states, cache, valid, seg_batches, counts0,
+                    datasets):
         cur_batches = {}
-        cache = {}
         last_loss = {}
         # ITD bookkeeping: per IterativeProblem child, the unroll start state
         # and batches consumed since, assembled into the parent's itd_data
@@ -663,7 +739,8 @@ class BlockRunner:
             if ev.inner_loop_start:
                 states = self._run_inner_loop_start(p, states)
                 if p._roll_back:
-                    cache[p.name] = states[p.name]
+                    cache = {**cache, p.name: states[p.name]}
+                    valid = {**valid, p.name: jnp.asarray(True)}
                 if seg.name in itd_names:
                     # differentiation starting point for the ITD replay
                     # (captured after the hook, like the eager driver);
@@ -676,7 +753,21 @@ class BlockRunner:
                     itd_batches[seg.name] = []
 
             if ev.rollback_recover:
-                states = {**states, p.name: cache[p.name]}
+                # restore the pre-unroll state; when the rotation put this
+                # recover before its in-block cache event, the cache comes
+                # from the carry (previous period / driver warmup) and may
+                # be empty for a never-started window — gate on validity,
+                # matching driver recover_states' empty-cache no-op
+                if ev.cache_sure:
+                    restored = cache[p.name]
+                else:
+                    cv = valid[p.name]
+                    restored = jax.tree_util.tree_map(
+                        lambda c, s: jnp.where(cv, c, s),
+                        cache[p.name], states[p.name],
+                    )
+                states = {**states, p.name: restored}
+                valid = {**valid, p.name: jnp.asarray(False)}
 
             if ev.reuse_batch:
                 batch = cur_batches[p.name]
@@ -703,7 +794,7 @@ class BlockRunner:
             states, loss = upd(states, batch, path_batches, itd_data, rng)
             last_loss[p.name] = loss
 
-        return states, last_loss
+        return states, cache, valid, last_loss
 
     def _run_inner_loop_start(self, p, states):
         """Execute the user's on_inner_loop_start hook inside the trace."""

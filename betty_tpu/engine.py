@@ -290,6 +290,9 @@ class Engine:
         self.maybe_auto_resume()
         if self.config.compile_blocks:
             return self.run_compiled()
+        return self._run_driver()
+
+    def _run_driver(self):
         self.train()
         if self.config.profile_dir:
             jax.profiler.start_trace(self.config.profile_dir)
@@ -372,31 +375,17 @@ class Engine:
         (see betty_tpu/compile.py). Numerically equivalent to driver mode."""
         from betty_tpu.compile import BlockRunner
 
-        probe = BlockRunner(self, schedule_only=True)  # no dataset staging
-        # a block may never span more than one validation (or checkpoint)
-        # boundary, or boundaries inside it would be silently skipped and
-        # early stopping would see fewer evaluations than driver mode
-        # rank-uniform: every process derives the same K (the compiled
-        # block is one SPMD program across hosts)
-        cadence = (
-            self.valid_step if self.do_validation() else self.train_iters
-        )
-        if self.config.checkpoint_step > 0 and self.config.checkpoint_dir:
-            cadence = min(cadence, self.config.checkpoint_step)
-        K = self.config.block_periods
-        if K <= 0:  # auto: amortize dispatch without outrunning validation
-            K = max(1, min(cadence, self.train_iters, 512) // probe.period)
-            K = min(K, 32)
-        else:
-            K = max(1, min(K, max(1, cadence // probe.period)))
-        if probe.period > cadence and self.is_rank_zero():
-            self.logger.info(
-                f"[compile_blocks] schedule period {probe.period} exceeds the "
-                f"validation/checkpoint cadence {cadence}: boundary actions "
-                "run once per period (coarsened cadence)"
-            )
-        runner = BlockRunner(self, scan_periods=K)
-        period = runner.period * K
+        try:
+            probe = BlockRunner(self, schedule_only=True)  # no data staging
+        except RuntimeError as e:
+            # no periodic / causally-complete block boundary exists for
+            # this schedule — run the whole thing in (equivalent-numerics)
+            # driver mode rather than crashing
+            if self.is_rank_zero():
+                self.logger.info(
+                    f"[compile_blocks] falling back to driver mode: {e}"
+                )
+            return self._run_driver()
         self.train()
         if self.config.profile_dir:
             jax.profiler.start_trace(self.config.profile_dir)
@@ -409,7 +398,7 @@ class Engine:
             # problem is past its warmup and the schedule phase matches the
             # simulator's steady state, then switch to compiled blocks
             def steady():
-                return runner.live_phase() == runner.initial_phase and all(
+                return probe.live_phase() == probe.initial_phase and all(
                     p.warmup_steps == 0 or p._count > p.warmup_steps
                     for p in self.problems
                 )
@@ -421,6 +410,45 @@ class Engine:
                 if maybe_validate_checkpoint(1):
                     stopped = True
                     break
+
+            # a block may never span more than one validation (or
+            # checkpoint) boundary, or boundaries inside it would be
+            # silently skipped and early stopping would see fewer
+            # evaluations than driver mode. Rank-uniform: every process
+            # derives the same K (one SPMD program across hosts). K is
+            # sized from the iterations REMAINING after the warmup prefix
+            # (a transient-prefix schedule must still dispatch blocks).
+            remaining = self.train_iters - it
+            cadence = (
+                self.valid_step if self.do_validation() else remaining
+            )
+            if self.config.checkpoint_step > 0 and self.config.checkpoint_dir:
+                cadence = min(cadence, self.config.checkpoint_step)
+            cadence = max(1, cadence)
+            K = self.config.block_periods
+            if K <= 0:  # auto: amortize dispatch w/o outrunning validation
+                K = max(1, min(cadence, max(remaining, 1), 512)
+                        // probe.period)
+                K = min(K, 32)
+            else:
+                K = max(1, min(K, max(1, cadence // probe.period)))
+            if probe.period > cadence and self.is_rank_zero():
+                self.logger.info(
+                    f"[compile_blocks] schedule period {probe.period} "
+                    f"exceeds the validation/checkpoint cadence {cadence}: "
+                    "boundary actions run once per period (coarsened "
+                    "cadence)"
+                )
+            period = probe.period * K
+            runner = None
+            if not stopped and remaining >= period:
+                runner = BlockRunner(self, scan_periods=K)
+            elif self.is_rank_zero() and not stopped:
+                self.logger.info(
+                    f"[compile_blocks] no blocks dispatched: {remaining} "
+                    f"iterations remain after the {it}-iteration warmup "
+                    f"prefix, below the block size {period}"
+                )
 
             while not stopped and it + period <= self.train_iters:
                 last_loss = runner.run_block()
@@ -440,7 +468,9 @@ class Engine:
                     break
 
             # remainder iterations fall back to the (equivalent-numerics)
-            # driver
+            # driver; sync the in-block roll-back caches first
+            if runner is not None:
+                runner.finalize()
             if not stopped:
                 for _ in range(self.train_iters - it):
                     self.global_step += 1

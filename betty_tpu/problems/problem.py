@@ -973,11 +973,15 @@ class Problem(abc.ABC):
         self._state_cache = self.state  # immutable pytree: reference suffices
 
     def recover_states(self):
-        # A problem that has never stepped (e.g. an upper whose unroll
-        # boundary hasn't been reached when a sibling's roll-back recovery
-        # cascades to it) has nothing cached: recovery is a no-op — its
-        # state IS the pre-unroll state. (The reference crashes here:
-        # load_state_dict(None), implicit_problem.py:73.)
+        # A problem whose window hasn't re-cached (e.g. an upper reached
+        # only through a roll-back cascade, or a second recovery before
+        # the next inner_loop_start) has nothing cached: the state RESTORE
+        # is skipped — but note step_after_roll_back still runs the
+        # re-step afterwards, so a real update (on a fresh batch when
+        # cur_batch is None) is applied either way. Compiled-block mode
+        # reproduces exactly this via its carried cache-validity flags
+        # (compile.py). The reference crashes here instead:
+        # load_state_dict(None), implicit_problem.py:73.
         if self._state_cache is None:
             return
         self.state = self._state_cache

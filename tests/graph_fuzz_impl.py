@@ -74,12 +74,14 @@ def sample_graph(rng):
                 u2l[up] = u2l[up] + [lo]
     names = [n for lvl in levels for n in lvl]
     is_lower = {n: any(n in v for v in u2l.values()) for n in names}
-    unroll = {n: (int(rng.randint(1, 4)) if is_lower[n] else 1)
+    unroll = {n: (int(rng.randint(1, 5)) if is_lower[n] else 1)
               for n in names}
     # gradient accumulation interleaves with unrolling in the step
     # recursion (count advances per micro-step, updates land per gas)
-    gas = {n: (int(rng.randint(1, 3)) if is_lower[n] else 1) for n in names}
-    roll_back = bool(rng.rand() < 0.4)
+    gas = {n: (int(rng.randint(1, 4)) if is_lower[n] else 1) for n in names}
+    # roll_back majority-sampled: uneven unroll*gas products force
+    # mid-window block rotations, the class that broke compile.py in r3
+    roll_back = bool(rng.rand() < 0.6)
     inits = {n: 0.3 * rng.randn(DIM) for n in names}
     targets = {(up, lo): 0.5 * rng.randn(DIM)
                for up, lows in u2l.items() for lo in lows}
@@ -143,8 +145,10 @@ def build_jax_engine(names, u2l, l2u, ups_of, lows_of, unroll, gas,
     return engine, problems
 
 
-def run_case(trial, rng):
-    levels, u2l, unroll, gas, roll_back, inits, targets = sample_graph(rng)
+def run_case(trial, rng, spec=None):
+    levels, u2l, unroll, gas, roll_back, inits, targets = (
+        spec if spec is not None else sample_graph(rng)
+    )
     names = [n for lvl in levels for n in lvl]
     l2u = {}
     for up, lows in u2l.items():
@@ -243,6 +247,11 @@ def run_case(trial, rng):
             print(f"FAIL {desc}: max traj |diff| = {err:.3e}")
             return False
     else:
+        # trajectory parity still binds for the iterations the reference
+        # DID complete before crashing
+        if err > TOL:
+            print(f"FAIL {desc}: pre-crash max traj |diff| = {err:.3e}")
+            return False
         # betty_tpu must survive the remaining iterations on its own
         counts_jax = {n: jax_problems[n].count for n in names}
         for _ in range(ITERS - counts_jax[jax_leaves[0]]):
@@ -282,9 +291,44 @@ def run_case(trial, rng):
     return ok
 
 
+def fixed_specs():
+    """Roll-back graphs with uneven unroll*gas products, known to force a
+    mid-window causal rotation of the compiled block (the class that
+    produced the r3 KeyError at compile.py's rollback_recover handling)."""
+    frng = np.random.RandomState(7)
+
+    def mk(levels, u2l, unroll, gas):
+        names = [n for lvl in levels for n in lvl]
+        inits = {n: 0.3 * frng.randn(DIM) for n in names}
+        targets = {(up, lo): 0.5 * frng.randn(DIM)
+                   for up, lows in u2l.items() for lo in lows}
+        return levels, u2l, unroll, gas, True, inits, targets
+
+    return [
+        # bilevel, leaf unrolls {4,1} x gas {1,2} (ADVICE r3 crash repro)
+        mk([["l0", "l1"], ["u0"]], {"u0": ["l0", "l1"]},
+           {"l0": 4, "l1": 1, "u0": 1}, {"l0": 1, "l1": 2, "u0": 1}),
+        # trilevel chain, unrolls {3,1,2} x gas {2,1,2}
+        mk([["l0"], ["m0"], ["t0"]], {"m0": ["l0"], "t0": ["m0"]},
+           {"l0": 3, "m0": 1, "t0": 2}, {"l0": 2, "m0": 1, "t0": 2}),
+    ]
+
+
 def main():
-    rng = np.random.RandomState(11)
-    results = [run_case(t, rng) for t in range(6)]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--skip-fixed", action="store_true")
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(args.seed)
+    results = []
+    if not args.skip_fixed:
+        results += [run_case(f"fixed{i}", rng, spec=s)
+                    for i, s in enumerate(fixed_specs())]
+    results += [run_case(t, rng) for t in range(args.trials)]
     if not all(results):
         sys.exit(1)
     print(f"all {len(results)} random graphs match the reference")
