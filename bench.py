@@ -1033,7 +1033,7 @@ def main():
     # parity would be indistinguishable from a measured 1.0x
     vs = (solvers["darts"]["median"] / ref) if (ref and darts_ok) else None
 
-    print(json.dumps({
+    detail = {
         "metric": "mwn_meta_steps_per_sec",
         "value": solvers["darts"].get("median"),
         "unit": "steps/s",
@@ -1059,7 +1059,60 @@ def main():
         "note": "vs_baseline is TPU-vs-reference-on-host-CPU (reference "
                 "publishes no throughput numbers); not hardware-normalized. "
                 "median = sustained, peak = best window on the shared chip.",
-    }))
+    }
+    # Full record to a committed file; stdout's FINAL line stays compact —
+    # the driver's tail capture is ~2000 chars, and r3's grown line was
+    # truncated into an unparseable record (VERDICT r3 weak #2).
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+        print(f"# full detail written to {detail_path}")
+    except OSError as e:
+        print(f"# could not write detail file: {e!r}", file=sys.stderr)
+
+    def _num(x, nd=3):
+        return round(x, nd) if isinstance(x, (int, float)) else None
+
+    ns = northstar if isinstance(northstar, dict) else {}
+    compact = {
+        "metric": "mwn_meta_steps_per_sec",
+        "value": solvers["darts"].get("median"),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "solver_medians": {
+            s: solvers.get(s, {}).get("median")
+            for s in ("darts", "cg", "neumann", "darts_bf16")
+        },
+        "mwn_mfu": round(mfu, 4) if mfu is not None else None,
+        "northstar_355m": {
+            "meta_periods_per_sec": _num(
+                ns.get("meta_periods_per_sec_median")),
+            "mfu_analytic": _num(ns.get("mfu_analytic"), 4),
+            "hbm_peak_gib": _num(ns.get("hbm_peak_gib"), 2),
+        },
+        "sama_transformer_meta_periods_per_sec": _num(
+            sama_tfm.get("meta_periods_per_sec_median")
+            if isinstance(sama_tfm, dict) else None),
+        "device_kind": kind,
+        "errors": sorted(
+            k for k, v in detail.items()
+            if isinstance(v, dict) and "error" in v
+        ) + sorted(
+            s for s, v in solvers.items()
+            if isinstance(v, dict) and "error" in v
+        ),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guard: never outgrow the capture window
+        line = json.dumps({
+            "metric": "mwn_meta_steps_per_sec",
+            "value": solvers["darts"].get("median"),
+            "unit": "steps/s",
+            "vs_baseline": round(vs, 3) if vs is not None else None,
+            "detail": "BENCH_DETAIL.json",
+        })
+    print(line)
 
 
 if __name__ == "__main__":
