@@ -40,17 +40,39 @@ from betty_tpu.models.transformer import (
 from betty_tpu.module import from_flax, from_hf_flax
 
 
-def make_synthetic_sst2(n, seq_len, vocab, seed=0, imbalance=10):
-    """Imbalanced binary classification over token sequences."""
+def make_synthetic_sst2(n, seq_len, vocab, seed=0, imbalance=10, signal=1.0):
+    """Imbalanced binary classification over token sequences.
+
+    ``signal=1.0`` (default): a deterministic class token at position 0 —
+    trivially separable, the smoke-test regime.
+
+    ``signal < 1``: DISTRIBUTED evidence, the real-SST-2 shape — every
+    token is drawn from the label's half of the vocabulary with
+    probability ``signal`` (from the other half otherwise), so each
+    example carries a sum of weak sentiment cues and the class posterior
+    varies smoothly across examples. Under a strong class prior the
+    uniform-loss decision threshold cuts deep into the minority's margin
+    band (e.g. signal .62 / imbalance 10: balanced Bayes accuracy ~.84
+    but uniform-loss minority recall ~.41); balanced reweighting shifts
+    the threshold back — the failure/recovery mode the reference's
+    imbalanced-SST-2 study targets (reference
+    examples/bert_data_reweighting/README.md).
+    """
     rng = np.random.RandomState(seed)
     n_pos = n // (imbalance + 1)
     labels = np.concatenate(
         [np.ones(n_pos), np.zeros(n - n_pos)]
     ).astype(np.int32)
     rng.shuffle(labels)
-    ids = rng.randint(2, vocab, size=(n, seq_len)).astype(np.int32)
-    # implant a weak label signal so learning is possible
-    ids[:, 0] = np.where(labels == 1, 5, 7)
+    if signal >= 1.0:
+        ids = rng.randint(2, vocab, size=(n, seq_len)).astype(np.int32)
+        ids[:, 0] = np.where(labels == 1, 5, 7)
+        return ids, labels
+    half = (vocab - 2) // 2
+    own_half = rng.rand(n, seq_len) < signal  # token from the label's half?
+    pos_half = own_half == (labels == 1)[:, None]  # -> "positive" vocab half
+    offs = rng.randint(0, half, size=(n, seq_len))
+    ids = np.where(pos_half, 2 + offs, 2 + half + offs).astype(np.int32)
     return ids, labels
 
 
@@ -207,12 +229,14 @@ def build_engine(args):
         )
         dev_data = (x_dev, y_dev)
     else:
+        signal = getattr(args, "signal", 1.0)
         x_train, y_train = make_synthetic_sst2(
             args.train_size, args.seq_len, vocab, seed=0,
-            imbalance=args.imbalance,
+            imbalance=args.imbalance, signal=signal,
         )
         x_meta, y_meta = make_synthetic_sst2(
-            args.meta_size, args.seq_len, vocab, seed=1, imbalance=1
+            args.meta_size, args.seq_len, vocab, seed=1, imbalance=1,
+            signal=signal,
         )
 
     if args.flash and args.hypergradient in ("cg", "neumann"):
@@ -327,6 +351,10 @@ def parse_args(argv=None):
     p.add_argument("--meta_lr", type=float, default=1e-4)
     p.add_argument("--unroll_steps", type=int, default=5)
     p.add_argument("--imbalance", type=int, default=10)
+    p.add_argument("--signal", type=float, default=1.0,
+                   help="probability the synthetic signal token matches the "
+                        "label (<1 = overlapping classes, the regime where "
+                        "imbalance suppresses minority recall)")
     p.add_argument("--train_size", type=int, default=2048)
     p.add_argument("--meta_size", type=int, default=512)
     p.add_argument("--train_iters", type=int, default=100)

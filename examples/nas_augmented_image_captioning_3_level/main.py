@@ -100,9 +100,16 @@ class DecoderBlock(nn.Module):
 class Captioner(nn.Module):
     """Architecture-mixed encoder + teacher-forced decoder.
 
-    ``alphas`` (2,) softmax-mixes two encoder branches (a deep gelu-MLP vs
-    a wide linear projection) — the NAS surface of the reference's
-    ``Architecture`` cell, scaled to this program."""
+    ``alphas`` (2,) softmax-mixes two encoder branches — a capable gelu-MLP
+    vs a fixed chaotic random-feature map (``sin`` of a high-gain frozen
+    projection: full-rank but non-smooth, so object identity is not
+    linearly recoverable and any weight on it injects structured garbage
+    into the decoder's memory) — the NAS surface of the reference's
+    ``Architecture`` cell, scaled to this program: select the informative
+    operation, suppress the noisy one. The searched alphas must discover
+    the capable branch; the quality gate (tests/test_quality_gates2.py)
+    asserts captioners trained under the searched mixture beat ones
+    trained under the anti-searched mixture on held-out exact match."""
 
     vocab: int
     dim: int = 64
@@ -113,7 +120,11 @@ class Captioner(nn.Module):
 
     def setup(self):
         self.enc_deep = [nn.Dense(self.dim * 2), nn.Dense(self.mem_tokens * self.dim)]
-        self.enc_wide = nn.Dense(self.mem_tokens * self.dim)
+        # per-branch normalization before mixing (the BN-at-op-end of real
+        # DARTS search spaces): without it a high-variance branch wins as a
+        # pure amplitude knob regardless of information content
+        self.enc_norm_a = nn.LayerNorm()
+        self.enc_norm_b = nn.LayerNorm()
         self.tok_emb = nn.Embed(self.vocab, self.dim)
         self.pos_emb = self.param(
             "pos_emb", nn.initializers.normal(0.02),
@@ -132,8 +143,17 @@ class Captioner(nn.Module):
             deep = layer(deep)
             if i < len(self.enc_deep) - 1:
                 deep = nn.gelu(deep)
-        wide = self.enc_wide(feats)
-        mixed = w[0] * deep + w[1] * wide
+        # chaotic random-feature branch: a frozen high-gain projection
+        # through sin (trace-time constant, not a parameter) — full-rank
+        # but non-smooth, so the object set is not linearly recoverable;
+        # any mixing weight on it injects structured garbage into the
+        # decoder's memory. The search must learn to suppress it.
+        proj = jax.random.normal(
+            jax.random.PRNGKey(1234),
+            (feats.shape[-1], self.mem_tokens * self.dim),
+        )
+        wide = jnp.sin(feats @ (4.0 * proj))
+        mixed = w[0] * self.enc_norm_a(deep) + w[1] * self.enc_norm_b(wide)
         return mixed.reshape(feats.shape[0], self.mem_tokens, self.dim)
 
     def __call__(self, feats, alphas, caption_in, train=True):
@@ -294,7 +314,7 @@ def build_engine(args):
     outer = Outer(
         name="outer",
         module=from_fn(lambda p: p["w"], {"w": jnp.zeros(2)}),
-        optimizer=optim.adam(lr=1e-3, betas=(0.5, 0.999)),
+        optimizer=optim.adam(lr=args.arch_lr, betas=(0.5, 0.999)),
         train_data_loader=loader(f_val, c_val),
         config=Config(type="darts", first_order=True, log_step=args.log_step),
     )
@@ -340,6 +360,8 @@ def parse_args(argv=None):
     p.add_argument("--unroll1", type=int, default=2)
     p.add_argument("--unroll2", type=int, default=2)
     p.add_argument("--captioner_lr", type=float, default=0.1)
+    p.add_argument("--arch_lr", type=float, default=1e-3,
+                   help="outer (architecture) Adam learning rate")
     p.add_argument("--learner_lr", type=float, default=0.05)
     p.add_argument("--distill", type=float, default=0.1)
     p.add_argument("--train_iters", type=int, default=100)

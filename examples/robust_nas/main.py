@@ -42,7 +42,7 @@ def jacobian_reg(loss_fn, x, rng):
 
 def curvature_reg(loss_fn, x, rng, iters=5):
     """Largest eigenvalue of the INPUT Hessian by power iteration over
-    Hessian-vector products — the DSRNA curvature regularizer (reference
+    Hessian-vector products — the DSRNA curvature MONITOR (reference
     ``examples/robust_nas/hessianflow`` ``get_eigen``: normalize v, iterate
     v <- Hv/||Hv||, eigenvalue = <v, Hv>). HVPs are forward-over-reverse
     (``jax.jvp`` of ``jax.grad``), so the whole estimate stays inside the
@@ -51,7 +51,11 @@ def curvature_reg(loss_fn, x, rng, iters=5):
     The returned Rayleigh quotient is differentiable w.r.t. the network
     parameters THROUGH H; the converged eigenvector is treated as a
     constant (``stop_gradient``), which is exact at convergence by
-    eigenvector stationarity and keeps the backward graph second-order."""
+    eigenvector stationarity and keeps the backward graph second-order.
+    NOTE: as a TRAINING penalty this is ill-conditioned — d(Hv/||Hv||)
+    blows up as ||Hv|| -> 0 (confident softmax => H -> 0), which is why
+    the reference trains with the finite-difference proxy below
+    (:func:`cure_reg`) and uses eigenvalues for monitoring only."""
 
     def hvp(v):
         return jax.jvp(jax.grad(loss_fn), (x,), (v,))[1]
@@ -65,6 +69,26 @@ def curvature_reg(loss_fn, x, rng, iters=5):
 
     v = jax.lax.stop_gradient(jax.lax.fori_loop(0, iters, body, v))
     return jnp.sum(v * hvp(v))
+
+
+def cure_reg(loss_fn, x, h=1.0):
+    """CURE-style finite-difference curvature penalty — the regularizer
+    DSRNA actually TRAINS with (reference ``regularizer.py`` ``loss_curv``:
+    z = sign of the input gradient, detached and normalized per example to
+    length ``h``; penalty = E ||nabla L(x + z) - nabla L(x)|| — a
+    directional-curvature magnitude along the adversarially-relevant
+    direction, differentiable and well-conditioned where the power-
+    iteration Rayleigh quotient is not)."""
+    g = jax.grad(loss_fn)(x)
+    z = jnp.sign(jax.lax.stop_gradient(g))
+    flat = z.reshape(z.shape[0], -1)
+    norm = jnp.sqrt(jnp.sum(flat**2, axis=1) + 1e-12)
+    z = h * z / norm.reshape((-1,) + (1,) * (z.ndim - 1))
+    diff = jax.grad(loss_fn)(x + z) - g
+    per_ex = jnp.sqrt(
+        jnp.sum(diff.reshape(diff.shape[0], -1) ** 2, axis=1) + 1e-12
+    )
+    return jnp.mean(per_ex)
 
 
 class Arch(ImplicitProblem):
@@ -93,8 +117,11 @@ class Classifier(ImplicitProblem):
                 input_loss, inputs, rng
             )
         if self.cfg["lambda_c"]:
-            total = total + self.cfg["lambda_c"] * curvature_reg(
-                input_loss, inputs, jax.random.fold_in(rng, 1)
+            # CURE finite-difference curvature (what the reference trains
+            # with); the power-iteration eigenvalue (curvature_reg) is the
+            # monitoring/evaluation metric, as in the reference
+            total = total + self.cfg["lambda_c"] * cure_reg(
+                input_loss, inputs
             )
         return {"loss": total, "ce": loss}
 
@@ -146,10 +173,12 @@ def build_engine(args):
             @nn.compact
             def __call__(self, x, alphas, train=True):
                 # mix two heads with the first normal-cell edge's alphas so
-                # the arch problem stays differentiably coupled
+                # the arch problem stays differentiably coupled; gelu keeps
+                # the input Hessian nonzero (relu is piecewise-linear, so
+                # the curvature regularizer would see ~0 once confident)
                 w = jax.nn.softmax(alphas["normal"][0, :2])
                 x = x.reshape(x.shape[0], -1)
-                x = nn.relu(nn.Dense(32)(x))
+                x = nn.gelu(nn.Dense(32)(x))
                 return w[0] * nn.Dense(10)(x) + w[1] * nn.Dense(10)(x)
 
         supernet = from_flax(MixMLP(), sample, init_alphas(),
