@@ -208,10 +208,12 @@ def build_engine(args):
     aug_cfg = (
         {"augment": True, "crop_size": args.crop_size} if augment else {}
     )
+    precision = getattr(args, "precision", "fp32")
     reweight = Reweight(
         name="reweight", module=mwn, optimizer=optim.adam(lr=1e-4),
         train_data_loader=Loader(x_meta, y_meta, args.batch_size, seed=1),
-        config=Config(type="darts", log_step=args.log_step),
+        config=Config(type="darts", log_step=args.log_step,
+                      precision=precision),
         extra_config=aug_cfg,
     )
     classifier = Classifier(
@@ -220,7 +222,7 @@ def build_engine(args):
         train_data_loader=Loader(x_train, y_train, args.batch_size, seed=0),
         config=Config(type="darts", unroll_steps=1,
                       gradient_accumulation=args.gas,
-                      log_step=args.log_step),
+                      log_step=args.log_step, precision=precision),
         extra_config={"ema_decay": args.ema_decay, **aug_cfg},
     )
     engine = PruneEngine(
@@ -252,6 +254,7 @@ def parse_args(argv=None):
     p.add_argument("--train_iters", type=int, default=10)
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--strategy", default="default")
+    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--data-dir", dest="data_dir", type=str, default=None,
                    help="classification npz (x_train/y_train/x_test/y_test)")
