@@ -100,13 +100,21 @@ class TransformerClassifier(nn.Module):
     pad_id: int = 1
     use_flash: bool = False  # route attention through the Pallas kernel
     remat: bool = False      # rematerialize each block in the backward
-    # None = blanket per-block remat (minimum HBM: replay the whole block
-    # forward in the backward). "dots" = jax.checkpoint_policies.
+    # None = blanket per-block remat (replay the whole block forward in
+    # the backward) — except flash residuals, which are still saved (see
+    # below). "minimal" = blanket remat with NOTHING saved, including
+    # flash residuals: the Pallas forward kernel is replayed inside the
+    # backward. Minimum HBM; at seq>=512 the saved flash residuals
+    # (q/k/v/o/lse x depth x unroll ~ 4GB at B8/S512/355M) are what OOMs
+    # the shared chip, so "minimal" is the policy that lets flash run at
+    # long sequence at all. "dots" = jax.checkpoint_policies.
     # checkpoint_dots: SAVE every matmul output (the MXU work) and replay
     # only the cheap VPU elementwise math (LN/gelu/bias/softmax) — costs
     # ~100MB/layer of activations at B32/S128/d1024 but removes the full
     # forward replay from the backward (the recompute that blanket remat
-    # spends ~1/4 of the step on at the north-star scale).
+    # spends ~1/4 of the step on at the north-star scale). NOTE at S512
+    # "dots" saves the (B,H,S,S) score matrix per layer per unroll step
+    # (~16GB at B8/355M/unroll5) — it does not fit; use None/"minimal".
     remat_policy: str | None = None
 
     @nn.compact
@@ -128,15 +136,16 @@ class TransformerClassifier(nn.Module):
         if self.remat:
             import jax
 
-            if self.remat_policy is None:
+            if self.remat_policy in (None, "minimal"):
                 policy = None
             elif self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.checkpoint_dots
             else:
                 raise ValueError(
                     f"remat_policy={self.remat_policy!r}: expected None "
-                    "(blanket) or 'dots' (save matmul outputs)")
-            if self.use_flash:
+                    "(blanket), 'minimal' (blanket even for flash "
+                    "residuals) or 'dots' (save matmul outputs)")
+            if self.use_flash and self.remat_policy != "minimal":
                 # Selective remat: keep the flash kernel's residuals
                 # (its backward recomputes scores internally — replaying
                 # the pallas forward too costs ~3x attention compute),

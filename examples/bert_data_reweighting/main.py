@@ -371,12 +371,15 @@ def parse_args(argv=None):
                    help="rematerialize encoder blocks in the backward "
                         "(jax.checkpoint) to cut activation HBM")
     p.add_argument("--remat_policy", default="full",
-                   choices=["full", "dots"],
+                   choices=["full", "minimal", "dots"],
                    help="with --remat: 'full' replays the whole block "
-                        "forward in the backward (minimum HBM); 'dots' "
+                        "forward in the backward (minimum HBM; flash "
+                        "residuals are still saved); 'minimal' replays "
+                        "EVERYTHING including the flash forward kernel "
+                        "(what lets --flash fit at seq>=512); 'dots' "
                         "saves every matmul output and replays only the "
                         "cheap elementwise math (checkpoint_dots — faster "
-                        "when the activations fit)")
+                        "when the activations fit, OOMs at seq>=512)")
     p.add_argument("--rng_impl", default="threefry",
                    choices=["threefry", "rbg"],
                    help="'rbg' uses the TPU hardware RngBitGenerator for "

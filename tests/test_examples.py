@@ -252,9 +252,9 @@ def test_bert_reweighting_with_hf_roberta(tmp_path):
     # synthetic token ids must stay inside the tiny vocab
     orig = mod.make_synthetic_sst2
 
-    def small_vocab(n, seq_len, vocab, seed=0, imbalance=10):
+    def small_vocab(n, seq_len, vocab, seed=0, imbalance=10, **kw):
         return orig(n, seq_len, min(vocab, 100), seed=seed,
-                    imbalance=imbalance)
+                    imbalance=imbalance, **kw)
 
     mod.make_synthetic_sst2 = small_vocab
     try:
