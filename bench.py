@@ -628,12 +628,15 @@ def bench_flash_attention(B=8, H=16, S=512, D=64):
         "fwd_bwd_speedup": round(speedup, 3),
         "max_err_vs_xla": float(f"{err:.2e}"),
         "verdict": "flash-wins" if speedup > 1.0 else "xla-wins-in-context",
-        # Measured once offline (r3, ~12 min Mosaic compile — too slow for
-        # the driver bench): the SAME shape inside the full 355M SAMA
-        # meta-program runs 0.89 vs plain 1.17 meta-periods/s. Honest
-        # verdict: the kernel wins isolated, loses in context; use_flash
-        # defaults off on the models.
-        "in_context_northstar_seq512_speedup_measured_offline": 0.76,
+        # Measured offline (r4 study; ~12 min Mosaic compiles — too slow
+        # for the driver bench): inside the full 355M SAMA meta-program at
+        # B4/S512 (the config that fits at seq 512: blanket remat), plain
+        # runs 2.524 meta-periods/s vs flash 1.691 (residuals saved) /
+        # 1.683 (minimal remat) — 0.67x either way, so the binding cost is
+        # the kernel boundary (layout transposes + fusion barrier), not
+        # remat replay. Full study: docs/memory.md + flash_attention.py
+        # docstring. use_flash stays default-off on the models.
+        "in_context_northstar_B4_seq512_speedup_measured_offline": 0.67,
     }
 
 
@@ -1037,8 +1040,15 @@ def _section(fn, *a, **k):
     round end, and the tunneled TPU backend has been observed UNAVAILABLE
     for hours at a stretch — one dead section (or a dead chip) must still
     yield the single JSON line, with the failure recorded in place."""
+    import gc
     import traceback
 
+    # engines hold reference cycles (engine <-> problems); without an
+    # explicit collect the PREVIOUS section's device state (5.3GB at the
+    # north-star scale) survives into this one and OOMs the shared chip —
+    # observed: flash@B8/S512 fits solo (13.6GiB peak) but RESOURCE_
+    # EXHAUSTEDs whenever it runs after the plain engine in-process.
+    gc.collect()
     try:
         return fn(*a, **k)
     except BaseException as e:  # noqa: BLE001 — record and continue

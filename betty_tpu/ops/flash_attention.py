@@ -39,11 +39,30 @@ Mosaic.
 Measured verdict (same honesty rule as ops/vector.py): isolated at the
 north-star shape (B8 H16 S512 D64 bf16) the kernel wins 1.3-2.0x over
 XLA's einsum attention on the fwd+bwd path, but inside the full 355M SAMA
-meta-program it loses — 0.76x vs plain at seq 512 (it was 0.46x before
-block sizes were raised to the tuned 512 and the selective remat policy
-below stopped the pallas forward being replayed). ``use_flash`` therefore
-defaults off on the models; the bench's ``flash_attention`` entry tracks
-the isolated numbers per round.
+meta-program it loses, and the r4 study (chip, B4/S512, unroll 5, bf16,
+blanket remat — the config that actually fits at seq 512) pinned the
+loss down:
+
+* plain + blanket remat       2.524 meta-periods/s   (baseline)
+* flash + saved residuals     1.691                  (0.67x)
+* flash + ``minimal`` remat   1.683                  (0.67x)
+
+The two flash variants tie, so the binding cost is NOT the forward-kernel
+replay or the residual round-trips. The device profile pins it: each
+pallas call takes ~0.38 ms at B4 — a (4,16) grid of 64 tiny programs
+whose ~5-6 us/program sequencing overhead leaves the MXU at ~6%
+utilization (XLA's fused einsum does the same eval in ~0.08 ms) — plus
+materialized (B,L,H,D)<->(B,H,L,D) layout copies around every custom
+call and the fusion barrier against the surrounding dense/dropout/
+residual work.
+Memory is decisive too: the AOT footprint of one 355M fwd+bwd step at
+B8/S512 is 0.22 GiB (plain, blanket) vs 2.42 GiB (flash, residuals
+saved) vs 0.25 GiB (flash, ``minimal``) — saved flash residuals are what
+OOM the 16GB shared chip at seq>=512, and ``remat_policy="dots"`` does
+not fit at all there (it saves the (B,H,S,S) score matrix per layer per
+unroll step). ``use_flash`` therefore defaults off on the models; the
+bench's ``flash_attention`` entry tracks the isolated numbers per round
+and docs/memory.md carries the full in-context study.
 """
 
 import functools

@@ -25,9 +25,19 @@ def main():
 
     out = {}
     for use_flash in (False, True):
+        # engines hold reference cycles; without this the previous side's
+        # ~5GB device state survives into this run and OOMs the shared
+        # chip (the r4 study lost several runs to exactly this)
+        import gc
+
+        gc.collect()
+        # blanket remat for plain, "minimal" for flash: the policies that
+        # actually fit at seq>=512 (docs/memory.md case study; "dots"
+        # saves the per-layer score matrix and OOMs either path)
         r = bench.bench_sama_roberta_large(
             use_flash=use_flash, K=1, timed_blocks=3, remat=True,
-            remat_policy="dots", batch=batch, seq=seq,
+            remat_policy="minimal" if use_flash else "full",
+            batch=batch, seq=seq,
         )
         key = "flash" if use_flash else "plain"
         out[key] = r
