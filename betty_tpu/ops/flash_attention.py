@@ -98,6 +98,246 @@ def _blocks(seq: int, block: int, what: str) -> int:
     return block
 
 
+def _pick_block_h(H, S, D, n_io, n_scores):
+    """Largest divisor of H whose single-tile working set fits VMEM.
+
+    Budget: double-buffered io blocks (n_io tensors of (S, D) bf16 per
+    head in the block) plus n_scores in-flight (S, S) f32 score-sized
+    temporaries, kept under ~3/4 of the ~16MB core VMEM (Mosaic's scoped
+    stack accounting rejected a 24.69M request when the head loop was
+    statically unrolled and ALL heads' score matrices were live at once —
+    the loop is a non-unrolled fori_loop precisely so only one head's
+    temporaries are live). Head-blocking exists because at small batch
+    the (B, H) grid is dozens of ~5-6us-overhead programs doing <1us of
+    MXU work each (the r4 profile: 0.38ms/call, ~6% MXU at
+    B4/H16/S512) — folding heads into one program amortizes the
+    sequencing overhead.
+    """
+    budget = (16 * 2**20) * 3 // 4 - n_scores * S * S * 4
+    per_head = 2 * n_io * S * D * 2
+    best = 1
+    for bh in range(1, H + 1):
+        if H % bh == 0 and bh * per_head <= budget:
+            best = bh
+    return best
+
+
+# ---------------------------------------------------------------------------
+# single-tile fast path (seq fits one block: the S<=512-with-default-blocks
+# regime, and S1024 with block 1024) — no online-softmax scratch, a head
+# block per program, and ONE merged backward kernel (dq/dk/dv + in-kernel
+# di) instead of two kernels each recomputing the scores
+# ---------------------------------------------------------------------------
+
+
+def _fwd_single_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                       *, sm_scale, causal, block_h):
+    S = q_ref.shape[2]
+    Skv = k_ref.shape[2]
+
+    kvm = None
+    if mask_ref is not None:
+        kvm = mask_ref[0, 0] != 0                      # (Skv,)
+
+    def body(h, carry):
+        del carry
+        q = q_ref[0, h]                                # (S, D)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                   # (S, Skv)
+        mask = None
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
+            mask = cols <= rows
+        if kvm is not None:
+            m2 = jnp.broadcast_to(kvm[None, :], (S, Skv))
+            mask = m2 if mask is None else (mask & m2)
+        if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = (pv / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l_safe))
+        lse_ref[0, h] = jnp.broadcast_to(lse, (S, lse_ref.shape[3]))
+        return 0
+
+    # NOT unrolled: one head's f32 temporaries live at a time (see
+    # _pick_block_h); leading-dim ref indexing takes the traced h
+    jax.lax.fori_loop(0, block_h, body, 0)
+
+
+def _bwd_single_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                       mask_ref, dq_ref, dk_ref, dv_ref,
+                       *, sm_scale, causal, block_h):
+    S = q_ref.shape[2]
+    Skv = k_ref.shape[2]
+
+    kvm = None
+    if mask_ref is not None:
+        kvm = mask_ref[0, 0] != 0
+
+    def body(h, carry):
+        del carry
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+        o = o_ref[0, h]
+        lse = lse_ref[0, h][:, :1]                     # (S, 1)
+        # di in-kernel: no host-side rowsum + SAVE_LANES round-trip
+        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                     axis=1, keepdims=True)            # (S, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = jnp.exp(s - lse)                           # true probabilities
+        mask = None
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
+            mask = cols <= rows
+        if kvm is not None:
+            m2 = jnp.broadcast_to(kvm[None, :], (S, Skv))
+            mask = m2 if mask is None else (mask & m2)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        dv_ref[0, h] = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - di) * sm_scale).astype(q.dtype)
+        dq_ref[0, h] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[0, h] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block_h, body, 0)
+
+
+def _single_tile(Sq, Skv, block_q, block_kv):
+    return Sq <= block_q and Skv <= block_kv
+
+
+def _fwd_single(q, k, v, kv_mask, *, causal, sm_scale, interpret):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bh = _pick_block_h(H, max(Sq, Skv), D, n_io=4, n_scores=2)
+    grid = (B, H // bh)
+
+    def qspec():
+        return pl.BlockSpec((1, bh, Sq, D), lambda b, hb: (b, hb, 0, 0))
+
+    def kvspec():
+        return pl.BlockSpec((1, bh, Skv, D), lambda b, hb: (b, hb, 0, 0))
+
+    in_specs = [qspec(), kvspec(), kvspec()]
+    args = [q, k, v]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Skv), lambda b, hb: (b, 0, 0)))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
+
+        def kernel(q_r, k_r, v_r, m_r, o_r, lse_r):
+            return _fwd_single_kernel(q_r, k_r, v_r, m_r, o_r, lse_r,
+                                      sm_scale=sm_scale, causal=causal,
+                                      block_h=bh)
+    else:
+        def kernel(q_r, k_r, v_r, o_r, lse_r):
+            return _fwd_single_kernel(q_r, k_r, v_r, None, o_r, lse_r,
+                                      sm_scale=sm_scale, causal=causal,
+                                      block_h=bh)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            qspec(),
+            pl.BlockSpec((1, bh, Sq, SAVE_LANES),
+                         lambda b, hb: (b, hb, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sq, SAVE_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return o, lse
+
+
+def _bwd_single(q, k, v, do, o, lse, kv_mask, *, causal, sm_scale,
+                interpret):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bh = _pick_block_h(H, max(Sq, Skv), D, n_io=8, n_scores=4)
+    grid = (B, H // bh)
+
+    def spec(S_):
+        return pl.BlockSpec((1, bh, S_, D), lambda b, hb: (b, hb, 0, 0))
+
+    in_specs = [spec(Sq), spec(Skv), spec(Skv), spec(Sq), spec(Sq),
+                pl.BlockSpec((1, bh, Sq, SAVE_LANES),
+                             lambda b, hb: (b, hb, 0, 0))]
+    args = [q, k, v, do, o, lse]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Skv), lambda b, hb: (b, 0, 0)))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
+
+        def kernel(q_r, k_r, v_r, do_r, o_r, lse_r, m_r,
+                   dq_r, dk_r, dv_r):
+            return _bwd_single_kernel(q_r, k_r, v_r, do_r, o_r, lse_r,
+                                      m_r, dq_r, dk_r, dv_r,
+                                      sm_scale=sm_scale, causal=causal,
+                                      block_h=bh)
+    else:
+        def kernel(q_r, k_r, v_r, do_r, o_r, lse_r, dq_r, dk_r, dv_r):
+            return _bwd_single_kernel(q_r, k_r, v_r, do_r, o_r, lse_r,
+                                      None, dq_r, dk_r, dv_r,
+                                      sm_scale=sm_scale, causal=causal,
+                                      block_h=bh)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[spec(Sq), spec(Skv), spec(Skv)],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -183,6 +423,9 @@ def _fwd(q, k, v, kv_mask, *, causal, sm_scale, block_q, block_kv,
          interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    if _single_tile(Sq, Skv, block_q, block_kv):
+        return _fwd_single(q, k, v, kv_mask, causal=causal,
+                           sm_scale=sm_scale, interpret=interpret)
     block_q = _blocks(Sq, block_q, "flash_attention q")
     block_kv = _blocks(Skv, block_kv, "flash_attention kv")
     n_q, n_kv = Sq // block_q, Skv // block_kv
@@ -435,6 +678,11 @@ def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
     q, k, v, kv_mask, o, lse = res
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    if _single_tile(Sq, Skv, block_q, block_kv):
+        dq, dk, dv = _bwd_single(q, k, v, do, o, lse, kv_mask,
+                                 causal=causal, sm_scale=sm_scale,
+                                 interpret=interpret)
+        return dq, dk, dv, None
     bq = _blocks(Sq, block_q, "flash_attention q")
     bkv = _blocks(Skv, block_kv, "flash_attention kv")
     n_q, n_kv = Sq // bq, Skv // bkv

@@ -361,3 +361,34 @@ def test_dots_remat_policy_invalid_name():
     ids = jnp.zeros((2, 64), jnp.int32)
     with pytest.raises(ValueError, match="remat_policy"):
         model.init(jax.random.PRNGKey(0), ids, train=False)
+
+
+def test_single_tile_path_matches_multi_tile_path():
+    """The r4 single-tile fast path (seq fits one block: head-blocked
+    programs, merged dq/dk/dv backward with in-kernel di) must agree with
+    the general online-softmax tiling on identical inputs — fwd and all
+    three grads, with a kv padding mask and causal both exercised."""
+    B, H, S, D = 2, 4, 128, 64
+    q = _rand((B, H, S, D), jnp.float32, 0)
+    k = _rand((B, H, S, D), jnp.float32, 1)
+    v = _rand((B, H, S, D), jnp.float32, 2)
+    w = _rand((B, H, S, D), jnp.float32, 3)
+    kv_mask = jnp.asarray(
+        np.random.RandomState(4).rand(B, S) > 0.2)
+
+    for causal in (False, True):
+        def loss(q, k, v, bq, bkv):
+            o = flash_attention(q, k, v, kv_mask, causal=causal,
+                                block_q=bq, block_kv=bkv)
+            return jnp.sum(o * w)
+
+        # bq=bkv=S -> single-tile path; 64/64 -> general tiling
+        o_single = flash_attention(q, k, v, kv_mask, causal=causal)
+        o_multi = flash_attention(q, k, v, kv_mask, causal=causal,
+                                  block_q=64, block_kv=64)
+        assert _max_err(o_single, o_multi) < 1e-5
+
+        g_single = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, S, S)
+        g_multi = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, 64, 64)
+        for a, b, name in zip(g_single, g_multi, "qkv"):
+            assert _max_err(a, b) < 1e-4, f"d{name} ({causal=})"
