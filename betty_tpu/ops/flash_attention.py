@@ -49,12 +49,18 @@ loss down:
 
 The two flash variants tie, so the binding cost is NOT the forward-kernel
 replay or the residual round-trips. The device profile pins it: each
-pallas call takes ~0.38 ms at B4 — a (4,16) grid of 64 tiny programs
-whose ~5-6 us/program sequencing overhead leaves the MXU at ~6%
-utilization (XLA's fused einsum does the same eval in ~0.08 ms) — plus
-materialized (B,L,H,D)<->(B,H,L,D) layout copies around every custom
-call and the fusion barrier against the surrounding dense/dropout/
-residual work.
+pallas call runs at ~6% MXU (~0.37 ms at B4 vs ~0.08 ms for XLA's fused
+einsum eval), plus materialized (B,L,H,D)<->(B,H,L,D) layout copies
+around every custom call and the fusion barrier against the surrounding
+dense/dropout/residual work. The r4 single-tile rework (head-blocked
+programs, merged dq/dk/dv backward) lifted the ISOLATED win to 1.87x at
+B8 but left the in-model call time unchanged — the residual gap is
+structural at short sequence: inside the kernel the heads run as a
+sequential fori_loop of (S,64)x(64,S) matmuls (D=64 also caps the
+128-wide MXU at 50%), while XLA computes all B*H heads as one large
+batched dot_general at ~27% MXU. Flash kernels pay that back only when
+S grows enough that XLA's (B,H,S,S) materialization dominates — a
+regime this workload's memory budget rules out (see below).
 Memory is decisive too: the AOT footprint of one 355M fwd+bwd step at
 B8/S512 is 0.22 GiB (plain, blanket) vs 2.42 GiB (flash, residuals
 saved) vs 0.25 GiB (flash, ``minimal``) — saved flash residuals are what
