@@ -104,152 +104,158 @@ def _blocks(seq: int, block: int, what: str) -> int:
     return block
 
 
-def _pick_block_h(H, S, D, n_io, n_scores):
-    """Largest divisor of H whose single-tile working set fits VMEM.
+VMEM_BUDGET = (16 * 2**20) * 3 // 4
 
-    Budget: double-buffered io blocks (n_io tensors of (S, D) bf16 per
-    head in the block) plus n_scores in-flight (S, S) f32 score-sized
-    temporaries, kept under ~3/4 of the ~16MB core VMEM (Mosaic's scoped
-    stack accounting rejected a 24.69M request when the head loop was
-    statically unrolled and ALL heads' score matrices were live at once —
-    the loop is a non-unrolled fori_loop precisely so only one head's
-    temporaries are live). Head-blocking exists because at small batch
-    the (B, H) grid is dozens of ~5-6us-overhead programs doing <1us of
-    MXU work each (the r4 profile: 0.38ms/call, ~6% MXU at
-    B4/H16/S512) — folding heads into one program amortizes the
-    sequencing overhead.
+
+def _pick_block_h(H, Sq, Skv, D, itemsize, n_io, n_scores):
+    """Largest divisor of H whose single-tile working set fits VMEM, or
+    ``None`` when even a one-head block does not fit (the caller must then
+    take the general multi-tile path instead of dispatching a kernel whose
+    single-head temporaries alone blow scoped VMEM — a Mosaic compile
+    failure).
+
+    The single-tile kernels compute ALL heads of the block with one
+    batched ``dot_general``, so every head's (Sq, Skv) f32 score-sized
+    temporaries are live at once: the budget scales the scores term by the
+    head block too. io tensors are double-buffered blocks of (S, D) in the
+    input dtype (``itemsize``). Head-blocking exists because at small
+    batch a (B, H) grid is dozens of ~5-6us-overhead programs doing <1us
+    of MXU work each (the r4 profile: 0.38ms/call, ~6% MXU at
+    B4/H16/S512) — batching heads into one program amortizes sequencing
+    AND gives the MXU a (bh, Sq, Skv) batched dot instead of a sequential
+    per-head loop (the loop measured ~6% MXU vs XLA's batched dot ~27%).
     """
-    budget = (16 * 2**20) * 3 // 4 - n_scores * S * S * 4
-    per_head = 2 * n_io * S * D * 2
-    best = 1
+    per_head = (n_scores * Sq * Skv * 4
+                + 2 * n_io * max(Sq, Skv) * D * itemsize)
+    best = None
     for bh in range(1, H + 1):
-        if H % bh == 0 and bh * per_head <= budget:
+        if H % bh == 0 and bh * per_head <= VMEM_BUDGET:
             best = bh
     return best
 
 
 # ---------------------------------------------------------------------------
 # single-tile fast path (seq fits one block: the S<=512-with-default-blocks
-# regime, and S1024 with block 1024) — no online-softmax scratch, a head
-# block per program, and ONE merged backward kernel (dq/dk/dv + in-kernel
-# di) instead of two kernels each recomputing the scores
+# regime) — no online-softmax scratch, a head block per program computed as
+# batched dots over the block, and ONE merged backward kernel
+# (dq/dk/dv + in-kernel di) instead of two kernels recomputing the scores
 # ---------------------------------------------------------------------------
 
 
+def _tile_mask(kvm, S, Skv, causal):
+    """(S, Skv) bool mask (or None) from causal geometry + kv padding."""
+    mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
+        mask = cols <= rows
+    if kvm is not None:
+        m2 = jnp.broadcast_to(kvm[None, :], (S, Skv))
+        mask = m2 if mask is None else (mask & m2)
+    return mask
+
+
 def _fwd_single_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                       *, sm_scale, causal, block_h):
-    S = q_ref.shape[2]
+                       *, sm_scale, causal):
+    bh, S = q_ref.shape[1], q_ref.shape[2]
     Skv = k_ref.shape[2]
 
-    kvm = None
-    if mask_ref is not None:
-        kvm = mask_ref[0, 0] != 0                      # (Skv,)
-
-    def body(h, carry):
-        del carry
-        q = q_ref[0, h]                                # (S, D)
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale                                   # (S, Skv)
-        mask = None
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
-            mask = cols <= rows
-        if kvm is not None:
-            m2 = jnp.broadcast_to(kvm[None, :], (S, Skv))
-            mask = m2 if mask is None else (mask & m2)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        if mask is not None:
-            p = jnp.where(mask, p, 0.0)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, h] = (pv / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l_safe))
-        lse_ref[0, h] = jnp.broadcast_to(lse, (S, lse_ref.shape[3]))
-        return 0
-
-    # NOT unrolled: one head's f32 temporaries live at a time (see
-    # _pick_block_h); leading-dim ref indexing takes the traced h
-    jax.lax.fori_loop(0, block_h, body, 0)
+    kvm = mask_ref[0, 0] != 0 if mask_ref is not None else None   # (Skv,)
+    q = q_ref[0]                                       # (bh, S, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    # one batched dot for the whole head block: (bh, S, Skv)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    mask = _tile_mask(kvm, S, Skv, causal)
+    if mask is not None:
+        s = jnp.where(mask[None], s, MASK_VALUE)
+    m = jnp.max(s, axis=2, keepdims=True)              # (bh, S, 1)
+    p = jnp.exp(s - m)
+    if mask is not None:
+        p = jnp.where(mask[None], p, 0.0)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                  # (bh, S, D)
+    o_ref[0] = (pv / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l_safe))
+    lse_ref[0] = jnp.broadcast_to(lse, (bh, S, lse_ref.shape[3]))
 
 
 def _bwd_single_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                        mask_ref, dq_ref, dk_ref, dv_ref,
-                       *, sm_scale, causal, block_h):
+                       *, sm_scale, causal):
     S = q_ref.shape[2]
     Skv = k_ref.shape[2]
 
-    kvm = None
-    if mask_ref is not None:
-        kvm = mask_ref[0, 0] != 0
-
-    def body(h, carry):
-        del carry
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        do = do_ref[0, h]
-        o = o_ref[0, h]
-        lse = lse_ref[0, h][:, :1]                     # (S, 1)
-        # di in-kernel: no host-side rowsum + SAVE_LANES round-trip
-        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
-                     axis=1, keepdims=True)            # (S, 1)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = jnp.exp(s - lse)                           # true probabilities
-        mask = None
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
-            mask = cols <= rows
-        if kvm is not None:
-            m2 = jnp.broadcast_to(kvm[None, :], (S, Skv))
-            mask = m2 if mask is None else (mask & m2)
-        if mask is not None:
-            p = jnp.where(mask, p, 0.0)
-        dv_ref[0, h] = jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = (p * (dp - di) * sm_scale).astype(q.dtype)
-        dq_ref[0, h] = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dq_ref.dtype)
-        dk_ref[0, h] = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dk_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, block_h, body, 0)
+    kvm = mask_ref[0, 0] != 0 if mask_ref is not None else None
+    q = q_ref[0]                                       # (bh, S, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    lse = lse_ref[0][:, :, :1]                         # (bh, S, 1)
+    # di in-kernel: no host-side rowsum + SAVE_LANES round-trip
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=2, keepdims=True)                # (bh, S, 1)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    mask = _tile_mask(kvm, S, Skv, causal)
+    if mask is not None:
+        # mask BEFORE the exp (mirrors the forward): for fully-masked rows
+        # lse is the 0.0 sentinel and unmasked s rows could exp to +inf
+        s = jnp.where(mask[None], s, MASK_VALUE)
+    p = jnp.exp(s - lse)                               # true probabilities
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)                             # (bh, Skv, D)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                  # (bh, S, Skv)
+    ds = (p * (dp - di) * sm_scale).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)                             # (bh, S, D)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)                             # (bh, Skv, D)
 
 
 def _single_tile(Sq, Skv, block_q, block_kv):
     return Sq <= block_q and Skv <= block_kv
 
 
+def _fwd_block_h(q, Skv):
+    """Feasible head block for the single-tile forward (None = infeasible,
+    take the multi-tile path). Live f32 score temporaries: s, p."""
+    B, H, Sq, D = q.shape
+    return _pick_block_h(H, Sq, Skv, D, q.dtype.itemsize, n_io=4,
+                         n_scores=2)
+
+
+def _bwd_block_h(q, Skv):
+    """Feasible head block for the merged single-tile backward. Live f32
+    score temporaries: s, p, dp, ds."""
+    B, H, Sq, D = q.shape
+    return _pick_block_h(H, Sq, Skv, D, q.dtype.itemsize, n_io=8,
+                         n_scores=4)
+
+
 def _fwd_single(q, k, v, kv_mask, *, causal, sm_scale, interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    bh = _pick_block_h(H, max(Sq, Skv), D, n_io=4, n_scores=2)
+    bh = _fwd_block_h(q, Skv)
     grid = (B, H // bh)
 
     def qspec():
@@ -266,13 +272,11 @@ def _fwd_single(q, k, v, kv_mask, *, causal, sm_scale, interpret):
 
         def kernel(q_r, k_r, v_r, m_r, o_r, lse_r):
             return _fwd_single_kernel(q_r, k_r, v_r, m_r, o_r, lse_r,
-                                      sm_scale=sm_scale, causal=causal,
-                                      block_h=bh)
+                                      sm_scale=sm_scale, causal=causal)
     else:
         def kernel(q_r, k_r, v_r, o_r, lse_r):
             return _fwd_single_kernel(q_r, k_r, v_r, None, o_r, lse_r,
-                                      sm_scale=sm_scale, causal=causal,
-                                      block_h=bh)
+                                      sm_scale=sm_scale, causal=causal)
 
     o, lse = pl.pallas_call(
         kernel,
@@ -299,7 +303,7 @@ def _bwd_single(q, k, v, do, o, lse, kv_mask, *, causal, sm_scale,
                 interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    bh = _pick_block_h(H, max(Sq, Skv), D, n_io=8, n_scores=4)
+    bh = _bwd_block_h(q, Skv)
     grid = (B, H // bh)
 
     def spec(S_):
@@ -317,14 +321,12 @@ def _bwd_single(q, k, v, do, o, lse, kv_mask, *, causal, sm_scale,
                    dq_r, dk_r, dv_r):
             return _bwd_single_kernel(q_r, k_r, v_r, do_r, o_r, lse_r,
                                       m_r, dq_r, dk_r, dv_r,
-                                      sm_scale=sm_scale, causal=causal,
-                                      block_h=bh)
+                                      sm_scale=sm_scale, causal=causal)
     else:
         def kernel(q_r, k_r, v_r, do_r, o_r, lse_r, dq_r, dk_r, dv_r):
             return _bwd_single_kernel(q_r, k_r, v_r, do_r, o_r, lse_r,
                                       None, dq_r, dk_r, dv_r,
-                                      sm_scale=sm_scale, causal=causal,
-                                      block_h=bh)
+                                      sm_scale=sm_scale, causal=causal)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -425,13 +427,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _clamp_blocks(Sq, Skv, block_q, block_kv):
+    """Multi-tile fallback blocks when the requested single tile does not
+    fit VMEM even at one head: cap at 512 (the measured-best multi-tile
+    size, module docstring) — a (512, 512) f32 score tile is always
+    feasible where the requested single tile was not."""
+    return min(block_q, 512), min(block_kv, 512)
+
+
 def _fwd(q, k, v, kv_mask, *, causal, sm_scale, block_q, block_kv,
          interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     if _single_tile(Sq, Skv, block_q, block_kv):
-        return _fwd_single(q, k, v, kv_mask, causal=causal,
-                           sm_scale=sm_scale, interpret=interpret)
+        if _fwd_block_h(q, Skv) is not None:
+            return _fwd_single(q, k, v, kv_mask, causal=causal,
+                               sm_scale=sm_scale, interpret=interpret)
+        block_q, block_kv = _clamp_blocks(Sq, Skv, block_q, block_kv)
     block_q = _blocks(Sq, block_q, "flash_attention q")
     block_kv = _blocks(Skv, block_kv, "flash_attention kv")
     n_q, n_kv = Sq // block_q, Skv // block_kv
@@ -685,10 +697,14 @@ def _flash_bwd(causal, sm_scale, block_q, block_kv, interpret, res, do):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     if _single_tile(Sq, Skv, block_q, block_kv):
-        dq, dk, dv = _bwd_single(q, k, v, do, o, lse, kv_mask,
-                                 causal=causal, sm_scale=sm_scale,
-                                 interpret=interpret)
-        return dq, dk, dv, None
+        if _bwd_block_h(q, Skv) is not None:
+            dq, dk, dv = _bwd_single(q, k, v, do, o, lse, kv_mask,
+                                     causal=causal, sm_scale=sm_scale,
+                                     interpret=interpret)
+            return dq, dk, dv, None
+        # forward may still have run single-tile (its working set is
+        # smaller); the saved lse layout is identical either way
+        block_q, block_kv = _clamp_blocks(Sq, Skv, block_q, block_kv)
     bq = _blocks(Sq, block_q, "flash_attention q")
     bkv = _blocks(Skv, block_kv, "flash_attention kv")
     n_q, n_kv = Sq // bq, Skv // bkv

@@ -385,3 +385,16 @@ def lambda_lr(lr: float, lr_lambda: Callable) -> Callable:
         return lr * lr_lambda(step)
 
     return schedule
+
+
+def multistep_lr(lr: float, milestones, gamma: float = 0.1) -> Callable:
+    """torch ``MultiStepLR`` counterpart: multiply by ``gamma`` at each
+    milestone step (reference MWN uses milestones=[10000, 13000],
+    ``examples/learning_to_reweight/main.py:146-150``)."""
+    ms = tuple(int(m) for m in milestones)
+
+    def schedule(step):
+        n = sum(jnp.asarray(step >= m, jnp.int32) for m in ms)
+        return lr * gamma ** n
+
+    return schedule

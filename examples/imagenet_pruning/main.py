@@ -38,8 +38,14 @@ from betty_tpu.data import ArrayLoader
 
 
 class Loader(ArrayLoader):
-    def __init__(self, x, y, batch_size, seed=0):
-        super().__init__(x, y, batch_size=batch_size, seed=seed)
+    def __init__(self, x, y, batch_size, seed=0, device=False):
+        # device=True keeps the dataset resident in HBM: per-batch slicing
+        # becomes a device gather instead of a per-step host transfer of
+        # batch x H x W x 3 floats (~50 MB/step at batch 64 / 256^2 — the
+        # r4 bench's 0.4%-MFU row was measuring exactly that transfer, not
+        # ResNet-50 compute; see BENCH_DETAIL imagenet_pruning r5)
+        super().__init__(x, y, batch_size=batch_size, seed=seed,
+                         device=device)
 
 
 class Reweight(ImplicitProblem):
@@ -187,10 +193,26 @@ def build_engine(args):
         args.num_classes = int(y_train.max()) + 1
         test_data = (x_test, y_test)
     else:
-        x_train, y_train = make_synthetic_imagenet(
-            args.train_size, args.num_classes, args.image_size, seed=0)
-        x_meta, y_meta = make_synthetic_imagenet(
-            args.meta_size, args.num_classes, args.image_size, seed=1)
+        if getattr(args, "device_data", False):
+            # generate the synthetic set directly on device: zero host
+            # transfer (the tunneled runtime moves bulk data at ~1 MB/s;
+            # even the one-time upfront device_put would dominate)
+            def dev_synth(n, seed):
+                kx, ky = jax.random.split(jax.random.PRNGKey(seed))
+                x = jax.random.normal(
+                    kx, (n, args.image_size, args.image_size, 3),
+                    jnp.float32)
+                y = jax.random.randint(ky, (n,), 0, args.num_classes,
+                                       jnp.int32)
+                return x, y
+
+            x_train, y_train = dev_synth(args.train_size, 0)
+            x_meta, y_meta = dev_synth(args.meta_size, 1)
+        else:
+            x_train, y_train = make_synthetic_imagenet(
+                args.train_size, args.num_classes, args.image_size, seed=0)
+            x_meta, y_meta = make_synthetic_imagenet(
+                args.meta_size, args.num_classes, args.image_size, seed=1)
 
     augment = getattr(args, "augment", "none") == "device"
     model_size = args.crop_size if augment else args.image_size
@@ -211,7 +233,8 @@ def build_engine(args):
     precision = getattr(args, "precision", "fp32")
     reweight = Reweight(
         name="reweight", module=mwn, optimizer=optim.adam(lr=1e-4),
-        train_data_loader=Loader(x_meta, y_meta, args.batch_size, seed=1),
+        train_data_loader=Loader(x_meta, y_meta, args.batch_size, seed=1,
+                                 device=getattr(args, "device_data", False)),
         config=Config(type="darts", log_step=args.log_step,
                       precision=precision),
         extra_config=aug_cfg,
@@ -219,7 +242,8 @@ def build_engine(args):
     classifier = Classifier(
         name="classifier", module=student,
         optimizer=optim.sgd(lr=args.lr, momentum=0.9, weight_decay=1e-4),
-        train_data_loader=Loader(x_train, y_train, args.batch_size, seed=0),
+        train_data_loader=Loader(x_train, y_train, args.batch_size, seed=0,
+                                 device=getattr(args, "device_data", False)),
         config=Config(type="darts", unroll_steps=1,
                       gradient_accumulation=args.gas,
                       log_step=args.log_step, precision=precision),
@@ -266,6 +290,10 @@ def parse_args(argv=None):
                         "(betty_tpu/data/augment.py)")
     p.add_argument("--crop_size", type=int, default=224,
                    help="model input size under --augment device")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the dataset resident in HBM (batches become "
+                        "device gathers; synthetic data is generated "
+                        "on-device)")
     return p.parse_args(argv)
 
 

@@ -67,6 +67,24 @@ class BatchLoader(ArrayLoader):
         return batch
 
 
+class WeightedSampleLoader(BatchLoader):
+    """Epoch-seeded sampling-with-replacement weighted by per-example
+    sample weights — the counterpart of the reference ``--retrain`` mode's
+    ``WeightedRandomSampler(sample_weight, len(sample_weight))``
+    (reference ``main.py:53-60``)."""
+
+    def __init__(self, x, y, weights, batch_size, **kw):
+        super().__init__(x, y, batch_size=batch_size, **kw)
+        w = np.asarray(weights, np.float64).clip(min=0)
+        assert len(w) == len(x)
+        total = w.sum()
+        self.probs = (w / total) if total > 0 else np.full(len(w), 1 / len(w))
+
+    def _epoch_order(self, epoch):
+        r = np.random.RandomState(self.seed + epoch)
+        return r.choice(self.n, size=self.n, replace=True, p=self.probs)
+
+
 class Reweight(ImplicitProblem):
     def training_step(self, batch):
         inputs, labels = batch
@@ -85,6 +103,18 @@ class Classifier(ImplicitProblem):
         ce = optax.softmax_cross_entropy_with_integer_labels(outputs, labels)
         weight = self.reweight(jax.lax.stop_gradient(ce))
         return jnp.mean(weight * ce)
+
+
+class BaselineClassifier(ImplicitProblem):
+    """Uniform-loss single-level training — the reference's ``--baseline``
+    and ``--retrain`` loss (plain mean CE, reference ``main.py:120-121``)."""
+
+    def training_step(self, batch):
+        inputs, labels = batch
+        outputs = self.module(inputs)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            outputs, labels
+        ).mean()
 
 
 class MWNEngine(Engine):
@@ -110,11 +140,25 @@ class MWNEngine(Engine):
         return {"acc": acc, "best_acc": self.best_acc}
 
 
+def make_schedule(args):
+    """Classifier LR schedule. ``--lr_milestones`` reproduces the
+    reference's ``MultiStepLR(milestones=[10000, 13000], gamma=0.1)``
+    (reference ``main.py:146-150``); ``--lr_schedule`` keeps the simpler
+    step decay."""
+    if args.lr_milestones:
+        ms = [int(m) for m in args.lr_milestones.split(",")]
+        return optim.multistep_lr(args.lr, ms, gamma=0.1)
+    if args.lr_schedule:
+        return optim.step_lr(args.lr, step_size=10000, gamma=0.1)
+    return None
+
+
 def build_engine(args):
     test_data = None
+    idx_train = None
     if args.data_dir:
         x_all, y_all, x_test, y_test = load_cifar10(args.data_dir)
-        x_train, y_train, x_meta, y_meta = build_splits(
+        x_train, y_train, x_meta, y_meta, idx_train = build_splits(
             x_all, y_all,
             num_classes=args.num_classes,
             num_meta_total=args.num_meta,
@@ -122,14 +166,30 @@ def build_engine(args):
             corruption_type=args.corruption_type,
             corruption_ratio=args.corruption_ratio,
             seed=args.data_seed,
+            return_indices=True,
         )
+        base_x = x_all
         test_data = (x_test, y_test)
     else:
         x_train, y_train = make_synthetic_cifar(args.train_size, seed=0)
         x_meta, y_meta = make_synthetic_cifar(args.meta_size, seed=1)
+        base_x = x_train
+        idx_train = np.arange(len(x_train))
 
-    train_loader = BatchLoader(x_train, y_train, args.batch_size, seed=0,
-                               device=args.device_data, augment=args.augment)
+    if args.retrain:
+        # reference --retrain (main.py:53-60): reload the persisted kept-set
+        # indices + (possibly corrupted) labels and sample it weighted by
+        # the trained reweighter's per-example weights, plain-CE loss
+        saved = np.load(args.reweight_path)
+        x_train = base_x[saved["indexes"]]
+        y_train = saved["labels"].astype(np.int32)
+        train_loader = WeightedSampleLoader(
+            x_train, y_train, saved["weights"], args.batch_size, seed=0,
+            device=args.device_data, augment=args.augment)
+    else:
+        train_loader = BatchLoader(x_train, y_train, args.batch_size, seed=0,
+                                   device=args.device_data,
+                                   augment=args.augment)
     meta_loader = BatchLoader(x_meta, y_meta, args.batch_size, seed=1,
                               device=args.device_data)
 
@@ -138,6 +198,36 @@ def build_engine(args):
         ResNet32(args.num_classes), sample, rng=jax.random.PRNGKey(0),
         train_kwarg="train",
     )
+
+    single_level = args.baseline or args.retrain
+    if single_level:
+        # reference main.py:198-201: baseline/retrain run the inner problem
+        # alone — one problem, no dependency edges, uniform CE
+        classifier = BaselineClassifier(
+            name="classifier",
+            module=classifier_mod,
+            optimizer=optim.sgd(
+                lr=args.lr, momentum=args.momentum,
+                weight_decay=args.weight_decay, nesterov=True,
+                schedule=make_schedule(args),
+            ),
+            train_data_loader=train_loader,
+            config=Config(precision=args.precision, log_step=args.log_step),
+        )
+        engine = MWNEngine(
+            config=EngineConfig(
+                train_iters=args.train_iters,
+                valid_step=args.valid_step,
+                strategy=args.strategy,
+                compile_blocks=args.compile_blocks,
+            ),
+            problems=[classifier],
+            dependencies={"u2l": {}, "l2u": {}},
+        )
+        engine.test_data = test_data
+        engine.checkpoint_dir = args.checkpoint_dir
+        return engine
+
     mwn_mod = from_flax(
         MetaWeightNet(), jnp.zeros((args.batch_size,)),
         rng=jax.random.PRNGKey(1), train_kwarg="train",
@@ -157,8 +247,7 @@ def build_engine(args):
         optimizer=optim.sgd(
             lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
             nesterov=True,
-            schedule=optim.step_lr(args.lr, step_size=10000, gamma=0.1)
-            if args.lr_schedule else None,
+            schedule=make_schedule(args),
         ),
         train_data_loader=train_loader,
         config=Config(type=args.solver, unroll_steps=args.unroll_steps,
@@ -181,7 +270,34 @@ def build_engine(args):
     )
     engine.test_data = test_data
     engine.checkpoint_dir = args.checkpoint_dir
+    # stash the exact train set + base-array indices for --export_weights
+    engine.train_set = (x_train, y_train, idx_train)
     return engine
+
+
+def export_sample_weights(engine, path, batch=512):
+    """Persist the trained reweighter's per-example weights over the kept
+    training set, plus the set's base-array indices and (possibly
+    corrupted) labels — the single-npz counterpart of the reference's
+    ``reweight.pt`` / ``train_index.pt`` / ``train_label.pt`` trio that its
+    ``--retrain`` mode consumes (reference ``main.py:56-59``). The weight of
+    example i is ``meta_net(CE_i)`` at the final classifier parameters."""
+    x, y, idx = engine.train_set
+    weights = []
+    clf, rw = engine.classifier, engine.reweight
+    for i in range(0, len(x) - batch + 1, batch):
+        xb = jnp.asarray(x[i:i + batch])
+        yb = jnp.asarray(y[i:i + batch])
+        ce = optax.softmax_cross_entropy_with_integer_labels(clf(xb), yb)
+        weights.append(np.asarray(rw(ce)).reshape(-1))
+    tail = len(x) % batch
+    if tail:
+        xb = jnp.asarray(x[-tail:])
+        yb = jnp.asarray(y[-tail:])
+        ce = optax.softmax_cross_entropy_with_integer_labels(clf(xb), yb)
+        weights.append(np.asarray(rw(ce)).reshape(-1))
+    np.savez(path, weights=np.concatenate(weights),
+             indexes=np.asarray(idx), labels=np.asarray(y))
 
 
 def solver_kwargs(args):
@@ -215,6 +331,9 @@ def parse_args(argv=None):
     p.add_argument("--valid_step", type=int, default=1000)
     p.add_argument("--log_step", type=int, default=-1)
     p.add_argument("--lr_schedule", action="store_true")
+    p.add_argument("--lr_milestones", type=str, default=None,
+                   help="comma-separated steps for the reference's "
+                        "MultiStepLR, e.g. '10000,13000'")
     p.add_argument("--compile_blocks", action="store_true")
     # keep the dataset resident in HBM (one upfront transfer; batches are
     # device-side gathers) - the fast path on tunneled TPU runtimes
@@ -232,6 +351,18 @@ def parse_args(argv=None):
     p.add_argument("--data_seed", type=int, default=1)
     p.add_argument("--augment", action="store_true",
                    help="host-side random crop + flip on train batches")
+    # --- reference main.py:23-24 one-flag modes ---
+    p.add_argument("--baseline", action="store_true",
+                   help="single-level uniform-loss training (no reweighter)")
+    p.add_argument("--retrain", action="store_true",
+                   help="single-level retrain on the kept set, sampling "
+                        "weighted by saved per-example weights")
+    p.add_argument("--reweight_path", type=str, default="reweight.npz",
+                   help="npz with weights/indexes/labels (see "
+                        "--export_weights); consumed by --retrain")
+    p.add_argument("--export_weights", type=str, default=None,
+                   help="after bilevel training, save the reweighter's "
+                        "per-example weights npz for --retrain")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="save engine checkpoint on validation improvement")
     # synthetic-mode sizes
@@ -244,3 +375,7 @@ if __name__ == "__main__":
     args = parse_args()
     engine = build_engine(args)
     engine.run()
+    if args.export_weights and not (args.baseline or args.retrain):
+        export_sample_weights(engine, args.export_weights)
+    if engine.test_data is not None:
+        print(f"IF {args.imbalanced_factor} || Best Acc.: {engine.best_acc}")

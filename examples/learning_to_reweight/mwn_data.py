@@ -74,9 +74,13 @@ def corrupt_labels(y, corruption_type, ratio, num_classes, rng):
 # ----------------------------------------------------------- split/imbalance
 def build_splits(x, y, num_classes=10, num_meta_total=1000,
                  imbalanced_factor=None, corruption_type=None,
-                 corruption_ratio=0.0, seed=1):
+                 corruption_ratio=0.0, seed=1, return_indices=False):
     """(x_train, y_train, x_meta, y_meta): balanced meta split, then
-    optional long-tail imbalance and label corruption on the train part."""
+    optional long-tail imbalance and label corruption on the train part.
+    With ``return_indices=True`` also returns ``idx_train`` (positions of
+    the kept training examples in ``x``) — the reference persists these as
+    ``train_index.pt`` for its ``--retrain`` workflow
+    (reference ``main.py:56-59``)."""
     rng = np.random.RandomState(seed)
     num_meta = num_meta_total // num_classes
 
@@ -107,6 +111,8 @@ def build_splits(x, y, num_classes=10, num_meta_total=1000,
     y_train, _ = corrupt_labels(
         y[idx_train], corruption_type, corruption_ratio, num_classes, rng
     )
+    if return_indices:
+        return x[idx_train], y_train, x[idx_meta], y[idx_meta], idx_train
     return x[idx_train], y_train, x[idx_meta], y[idx_meta]
 
 

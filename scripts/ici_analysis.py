@@ -1,0 +1,194 @@
+"""Compiled-program ICI evidence for the v5e-8 north-star projection
+(VERDICT r4 weak #4 / next-round #5).
+
+Compiles the REAL 355M north-star training programs (SAMA RoBERTa-large
+scale data reweighting, bf16, ``examples/bert_data_reweighting``) over an
+8-device mesh (CPU-simulated; XLA's SPMD partitioner emits the same
+collective set it would for 8 real chips), then:
+
+1. parses every collective instruction (all-gather / reduce-scatter /
+   all-reduce / collective-permute / all-to-all) and its shape out of the
+   optimized HLO,
+2. converts them to ring bytes-on-wire per device per meta-period
+   (5 inner classifier steps + 1 reweighter meta step, the bench config),
+3. divides by the v5e ICI ring bandwidth to get the ICI time bound, and
+4. combines with the measured one-chip compute anchor (BENCH r4:
+   0.4902 s/meta-period at 52.5% MFU) into a derived 8-chip scaling
+   efficiency, replacing BASELINE.md's assumed 0.93.
+
+Ring cost model (standard; see e.g. the public TPU scaling-book treatment):
+for n devices, all-gather moves (n-1)/n of the gathered bytes through each
+device; reduce-scatter the same on the reduced bytes; all-reduce =
+reduce-scatter + all-gather = 2x(n-1)/n. v5e ICI: 45 GB/s per link per
+direction; one 8-chip torus axis uses 2 links/chip -> 90 GB/s effective
+ring bandwidth per device (assumption named in the output).
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python scripts/ici_analysis.py [--strategy fsdp] [--small]
+
+Writes the JSON result to stdout; tests/test_ici_analysis.py asserts the
+collective set on the same (toy-scale) programs.
+"""
+
+import argparse
+import importlib.util
+import json
+import math
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+# measured one-chip anchor (BENCH_DETAIL.json, sama_roberta_large, r4)
+MEASURED_SEC_PER_META_PERIOD = 0.4902
+V5E_RING_BW = 90e9          # bytes/s per device on one torus axis (2 links)
+N_DEV = 8
+UNROLL = 5                  # inner steps per meta-period (bench config)
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+_COLLECTIVE_RE = re.compile(
+    r"=\s*(?:\([^)]*\)|(\w+)\[([\d,]*)\][^ ]*)\s*"
+    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(")
+_TUPLE_ELT_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(dtype, dims):
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dtype, 4)
+
+
+def collective_bytes(hlo_text, n=N_DEV):
+    """{op: {'count': k, 'wire_bytes': per-device ring bytes}} over every
+    collective instruction in the optimized HLO (``-start`` async forms
+    counted once; ``-done`` has no shape payload of its own)."""
+    out = {}
+    for line in hlo_text.splitlines():
+        m = _COLLECTIVE_RE.search(line)
+        if not m:
+            continue
+        op = m.group(3)
+        if m.group(1) is not None:
+            size = _shape_bytes(m.group(1), m.group(2))
+        else:
+            # tuple-shaped result (variadic collective): sum the elements
+            paren = line.split("= (", 1)[1].split(") ", 1)[0]
+            size = sum(_shape_bytes(d, s)
+                       for d, s in _TUPLE_ELT_RE.findall(paren))
+        if op == "all-gather":
+            wire = size * (n - 1) / n          # size = gathered output
+        elif op == "reduce-scatter":
+            wire = size * (n - 1)              # size = scattered output
+        elif op == "all-reduce":
+            wire = 2 * size * (n - 1) / n
+        elif op == "all-to-all":
+            wire = size * (n - 1) / n
+        else:                                  # collective-permute
+            wire = size
+        rec = out.setdefault(op, {"count": 0, "wire_bytes": 0.0})
+        rec["count"] += 1
+        rec["wire_bytes"] += wire
+    return out
+
+
+def compile_program(mod, args_list, problem):
+    """Optimized HLO text of one problem's per-step update program."""
+    import jax
+
+    args = mod.parse_args(args_list)
+    engine = mod.build_engine(args)
+    prob = getattr(engine, problem)
+    engine.train()
+    prob._count = 1
+    batch = prob.get_batch()
+    # hypergradient paths re-evaluate intermediate problems' losses on
+    # their own batches (update(states, batch, path_batches, itd, rng))
+    path_batches = {}
+    for path in prob.paths:
+        for hop in path[1:-1]:
+            hop._count = 1
+            path_batches[hop.name] = hop.get_batch()
+    upd = prob._get_update_fn(apply_update=True, advance_sched=True)
+    lowered = upd.lower(engine.states, batch, path_batches, {},
+                        jax.random.PRNGKey(0))
+    return lowered.compile().as_text()
+
+
+def northstar_args(strategy, small):
+    a = ["--train_iters", "0", "--batch_size", "32", "--seq_len", "128",
+         "--precision", "bf16", "--hypergradient", "sama",
+         "--unroll_steps", str(UNROLL), "--strategy", strategy]
+    if small:
+        a += ["--dim", "128", "--depth", "2", "--heads", "4",
+              "--train_size", "128", "--meta_size", "64"]
+    else:
+        a += ["--model", "large",
+              "--train_size", "128", "--meta_size", "64"]
+    return a
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--strategy", default="fsdp", choices=["dp", "fsdp"])
+    p.add_argument("--small", action="store_true",
+                   help="toy dims (CI); default is the real 355M shape")
+    args = p.parse_args(argv)
+
+    spec = importlib.util.spec_from_file_location(
+        "bert_ici", ROOT / "examples" / "bert_data_reweighting" / "main.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bert_ici"] = mod
+    spec.loader.exec_module(mod)
+
+    a = northstar_args(args.strategy, args.small)
+    print(f"# compiling classifier inner-step program ({args.strategy})...",
+          file=sys.stderr)
+    clf_hlo = compile_program(mod, a, "classifier")
+    clf = collective_bytes(clf_hlo)
+    print("# compiling reweighter meta-step program (SAMA hypergrad)...",
+          file=sys.stderr)
+    rw_hlo = compile_program(mod, a, "reweight")
+    rw = collective_bytes(rw_hlo)
+
+    per_period = {}
+    total_wire = 0.0
+    for src, mult, name in ((clf, UNROLL, "classifier_step"),
+                            (rw, 1, "reweight_meta_step")):
+        rec = {op: {"count": v["count"],
+                    "wire_gib_per_device": round(v["wire_bytes"] / 2**30, 4)}
+               for op, v in sorted(src.items())}
+        per_period[name] = {"collectives": rec, "executions": mult}
+        total_wire += mult * sum(v["wire_bytes"] for v in src.values())
+
+    t_ici = total_wire / V5E_RING_BW
+    t_comp = MEASURED_SEC_PER_META_PERIOD
+    scaling_no_overlap = t_comp / (t_comp + t_ici)
+    scaling_overlap = t_comp / max(t_comp, t_ici)
+    result = {
+        "strategy": args.strategy,
+        "shape": "toy" if args.small else "355M (roberta-large scale)",
+        "n_devices": N_DEV,
+        "unroll_steps": UNROLL,
+        "programs": per_period,
+        "wire_gib_per_device_per_meta_period": round(total_wire / 2**30, 3),
+        "ici_ring_bw_gbps_assumed": V5E_RING_BW / 1e9,
+        "ici_seconds_per_meta_period": round(t_ici, 5),
+        "measured_compute_seconds_per_meta_period": t_comp,
+        "derived_scaling_efficiency_no_overlap": round(scaling_no_overlap, 4),
+        "derived_scaling_efficiency_full_overlap": round(scaling_overlap, 4),
+    }
+    print(json.dumps(result, indent=1))
+    return result
+
+
+if __name__ == "__main__":
+    main()

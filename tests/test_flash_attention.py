@@ -392,3 +392,70 @@ def test_single_tile_path_matches_multi_tile_path():
         g_multi = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, 64, 64)
         for a, b, name in zip(g_single, g_multi, "qkv"):
             assert _max_err(a, b) < 1e-4, f"d{name} ({causal=})"
+
+
+def test_single_tile_production_shape_bf16():
+    """ADVICE r4: the production single-tile shape — S=512, bf16, H=16
+    with real head-blocking — must agree with the multi-tile path and the
+    einsum oracle, so a head-block or VMEM-budget regression at the
+    north-star shape is caught in CI (the S=128/f32/H=4 case exercises
+    block_h=H only)."""
+    from betty_tpu.ops.flash_attention import _bwd_block_h, _fwd_block_h
+
+    B, H, S, D = 1, 16, 512, 64
+    q = _rand((B, H, S, D), jnp.bfloat16, 10)
+    k = _rand((B, H, S, D), jnp.bfloat16, 11)
+    v = _rand((B, H, S, D), jnp.bfloat16, 12)
+    w = _rand((B, H, S, D), jnp.bfloat16, 13)
+    kv_mask = jnp.asarray(np.random.RandomState(14).rand(B, S) > 0.15)
+
+    # the shape must actually exercise head-blocking (bh < H), both ways
+    assert _fwd_block_h(q, S) not in (None, H)
+    assert _bwd_block_h(q, S) not in (None, H)
+
+    def loss(q, k, v, bq, bkv):
+        o = flash_attention(q, k, v, kv_mask, block_q=bq, block_kv=bkv)
+        return jnp.sum(o.astype(jnp.float32) * w.astype(jnp.float32))
+
+    o_single = flash_attention(q, k, v, kv_mask)
+    o_multi = flash_attention(q, k, v, kv_mask, block_q=256, block_kv=256)
+    o_ref = reference_attention(q, k, v, kv_mask)
+    assert _max_err(o_single, o_multi) < 1e-2   # bf16 tolerance
+    assert _max_err(o_single, o_ref) < 1e-2
+
+    g_single = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, S, S)
+    g_multi = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, 256, 256)
+    for a, b, name in zip(g_single, g_multi, "qkv"):
+        assert _max_err(a, b) < 2e-2, f"d{name}"
+
+
+def test_single_tile_infeasible_falls_back_to_multi_tile():
+    """ADVICE r4 (medium): when even a one-head block exceeds the VMEM
+    budget (e.g. explicit block 1024 at S=1024 in the backward), the
+    dispatch must take the general multi-tile path with clamped blocks
+    instead of emitting a kernel whose single-head temporaries blow scoped
+    VMEM."""
+    from betty_tpu.ops.flash_attention import _bwd_block_h
+
+    B, H, S, D = 1, 2, 1024, 64
+    q = _rand((B, H, S, D), jnp.float32, 20)
+    k = _rand((B, H, S, D), jnp.float32, 21)
+    v = _rand((B, H, S, D), jnp.float32, 22)
+
+    # backward at a single 1024 tile: 4 f32 score temporaries = 16 MiB
+    # alone > the 12 MiB budget -> infeasible even at one head
+    assert _bwd_block_h(q, S) is None
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, block_q=1024, block_kv=1024)
+        return jnp.sum(o)
+
+    # must compile + run via the fallback, and agree with the oracle path
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, g_ref, "qkv"):
+        assert _max_err(a, b) < 1e-4, f"d{name}"

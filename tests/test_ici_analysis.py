@@ -1,0 +1,62 @@
+"""Compiled-program collective evidence for the v5e-8 projection
+(VERDICT r4 next #5): the north-star-shaped SAMA data-reweighting programs,
+partitioned over the 8-device mesh, must contain the expected collective
+set, and the ICI analysis (scripts/ici_analysis.py) must extract nonzero
+bytes-on-wire from them. Toy dims (CI); scripts/ici_analysis.py runs the
+same pass at the real 355M shape — its numbers are recorded in BASELINE.md.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _load_ici():
+    spec = importlib.util.spec_from_file_location(
+        "ici_analysis", ROOT / "scripts" / "ici_analysis.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ici_analysis"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fsdp_northstar_collective_set_and_bytes():
+    ici = _load_ici()
+    spec = importlib.util.spec_from_file_location(
+        "bert_ici_t", ROOT / "examples" / "bert_data_reweighting" / "main.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bert_ici_t"] = mod
+    spec.loader.exec_module(mod)
+
+    a = ici.northstar_args("fsdp", small=True)
+    clf_hlo = ici.compile_program(mod, a, "classifier")
+    clf = ici.collective_bytes(clf_hlo)
+    # FSDP inner step: parameter all-gathers + a gradient reduction
+    assert "all-gather" in clf, f"no all-gather in fsdp step: {set(clf)}"
+    assert ("all-reduce" in clf) or ("reduce-scatter" in clf), set(clf)
+    assert clf["all-gather"]["wire_bytes"] > 0
+
+    rw_hlo = ici.compile_program(mod, a, "reweight")
+    rw = ici.collective_bytes(rw_hlo)
+    # SAMA hypergradient step re-evaluates the classifier loss at
+    # perturbed parameters: all-gathers again, plus the cross-replica
+    # gradient reductions the reference routes through DDP hooks
+    assert "all-gather" in rw, f"no all-gather in meta step: {set(rw)}"
+    assert ("all-reduce" in rw) or ("reduce-scatter" in rw), set(rw)
+
+
+def test_ring_cost_model():
+    """Byte accounting on a synthetic HLO line set (ring formulas)."""
+    ici = _load_ici()
+    hlo = "\n".join([
+        "  %ag = bf16[8,128,256] all-gather(bf16[1,128,256] %p), dims={0}",
+        "  %ar = f32[1024] all-reduce(f32[1024] %g), to_apply=%sum",
+        "  %rs = f32[128] reduce-scatter(f32[1024] %g2), dimensions={0}",
+    ])
+    out = ici.collective_bytes(hlo, n=8)
+    ag_out = 8 * 128 * 256 * 2
+    assert out["all-gather"]["wire_bytes"] == ag_out * 7 / 8
+    assert out["all-reduce"]["wire_bytes"] == 2 * 1024 * 4 * 7 / 8
+    assert out["reduce-scatter"]["wire_bytes"] == 128 * 4 * 7
