@@ -37,38 +37,39 @@ On CPU the kernels run in interpret mode (tests); on TPU they compile via
 Mosaic.
 
 Measured verdict (same honesty rule as ops/vector.py): isolated at the
-north-star shape (B8 H16 S512 D64 bf16) the kernel wins 1.3-2.0x over
-XLA's einsum attention on the fwd+bwd path, but inside the full 355M SAMA
-meta-program it loses, and the r4 study (chip, B4/S512, unroll 5, bf16,
-blanket remat — the config that actually fits at seq 512) pinned the
-loss down:
+north-star shape (B8 H16 S512 D64 bf16) the kernel wins ~2x over XLA's
+einsum attention on the fwd+bwd training path, but inside the full 355M
+SAMA meta-program at S512 it loses (r4 study, chip, B4/S512, unroll 5,
+blanket remat — the config that actually fits at seq 512):
 
 * plain + blanket remat       2.524 meta-periods/s   (baseline)
 * flash + saved residuals     1.691                  (0.67x)
 * flash + ``minimal`` remat   1.683                  (0.67x)
 
 The two flash variants tie, so the binding cost is NOT the forward-kernel
-replay or the residual round-trips. The device profile pins it: each
-pallas call runs at ~6% MXU (~0.37 ms at B4 vs ~0.08 ms for XLA's fused
-einsum eval), plus materialized (B,L,H,D)<->(B,H,L,D) layout copies
-around every custom call and the fusion barrier against the surrounding
-dense/dropout/residual work. The r4 single-tile rework (head-blocked
-programs, merged dq/dk/dv backward) lifted the ISOLATED win to 1.87x at
-B8 but left the in-model call time unchanged — the residual gap is
-structural at short sequence: inside the kernel the heads run as a
-sequential fori_loop of (S,64)x(64,S) matmuls (D=64 also caps the
-128-wide MXU at 50%), while XLA computes all B*H heads as one large
-batched dot_general at ~27% MXU. Flash kernels pay that back only when
-S grows enough that XLA's (B,H,S,S) materialization dominates — a
-regime this workload's memory budget rules out (see below).
-Memory is decisive too: the AOT footprint of one 355M fwd+bwd step at
-B8/S512 is 0.22 GiB (plain, blanket) vs 2.42 GiB (flash, residuals
-saved) vs 0.25 GiB (flash, ``minimal``) — saved flash residuals are what
-OOM the 16GB shared chip at seq>=512, and ``remat_policy="dots"`` does
-not fit at all there (it saves the (B,H,S,S) score matrix per layer per
-unroll step). ``use_flash`` therefore defaults off on the models; the
-bench's ``flash_attention`` entry tracks the isolated numbers per round
-and docs/memory.md carries the full in-context study.
+replay or the residual round-trips — it is the custom-call boundary
+itself: materialized (B,L,H,D)<->(B,H,L,D) layout copies around every
+call plus the fusion barrier against the surrounding
+dense/dropout/residual work. The r5 rework replaced the single-tile
+kernels' sequential per-head ``fori_loop`` with one batched
+``dot_general`` over the whole head block (r4's profile had suggested the
+loop as the binder); an interleaved same-session A/B measured the two
+kernel forms near-equal isolated — loop 1.44 ms vs batched 1.41 ms
+fwd+bwd (XLA 2.78) — so the in-context S512 verdict is a BOUNDARY cost,
+not a kernel-body cost, and no kernel-body change can fix it at short
+sequence. The batched form is kept: marginally faster on the training
+path, and its VMEM feasibility dispatch (``_pick_block_h`` returning
+None -> multi-tile fallback with clamped blocks) handles the regimes the
+loop form could not.
+Memory at seq>=512 is decisive for the remat policy: the AOT footprint of
+one 355M fwd+bwd step at B8/S512 is 0.22 GiB (plain, blanket) vs 2.42 GiB
+(flash, residuals saved) vs 0.25 GiB (flash, ``minimal``) — saved flash
+residuals are what OOM the 16GB shared chip, and ``remat_policy="dots"``
+does not fit at all there (it saves the (B,H,S,S) score matrix per layer
+per unroll step). ``use_flash`` therefore defaults off on the models at
+short sequence; the long-sequence (S1024) in-context study lives in
+docs/memory.md and the bench's ``flash_attention`` entry tracks the
+isolated numbers per round.
 """
 
 import functools

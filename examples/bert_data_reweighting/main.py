@@ -266,12 +266,14 @@ def build_engine(args):
             model = roberta_large_config(max_len=args.seq_len,
                                          use_flash=args.flash,
                                          remat=args.remat,
+                                         dropout=args.dropout,
                                          remat_policy=policy)
         else:
             model = TransformerClassifier(
                 vocab_size=vocab, max_len=args.seq_len, dim=args.dim,
                 depth=args.depth, heads=args.heads, use_flash=args.flash,
                 remat=args.remat, remat_policy=policy,
+                dropout=args.dropout,
             )
         sample = jnp.zeros((args.batch_size, args.seq_len), jnp.int32)
         classifier_mod = from_flax(model, sample, rng=jax.random.PRNGKey(0),
@@ -380,6 +382,9 @@ def parse_args(argv=None):
                         "saves every matmul output and replays only the "
                         "cheap elementwise math (checkpoint_dots — faster "
                         "when the activations fit, OOMs at seq>=512)")
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="encoder dropout rate (0 disables mask generation "
+                        "entirely — a bench diagnosis knob)")
     p.add_argument("--rng_impl", default="threefry",
                    choices=["threefry", "rbg"],
                    help="'rbg' uses the TPU hardware RngBitGenerator for "

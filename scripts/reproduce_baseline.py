@@ -28,7 +28,7 @@ suite runs the smoke tier (tests/test_reproduce_baseline.py).
 """
 
 import argparse
-import importlib
+import importlib.util
 import json
 import sys
 import tempfile
@@ -45,9 +45,20 @@ IMAML_BANDS = {(5, 1): 98.68, (5, 5): 99.58, (20, 1): 92.90, (20, 5): 98.04}
 
 
 def _load(example, module="main"):
+    """Load an example's entry module under a unique name (several examples
+    have a ``main.py``, and some import siblings by path — loading them all
+    as ``main`` would shadow each other)."""
+    path = ROOT / "examples" / example / f"{module}.py"
+    name = f"repro_{example}_{module}"
+    if name in sys.modules:
+        return sys.modules[name]
     sys.path.insert(0, str(ROOT / "examples" / example))
     try:
-        return importlib.import_module(module)
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
     finally:
         sys.path.pop(0)
 

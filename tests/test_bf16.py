@@ -88,6 +88,7 @@ def relerr(a, b):
     return float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["darts", "cg"])
 def test_bf16_solver_precision_policy(solver):
     g_fp32 = hypergrad(*build("fp32", "fp32", solver))

@@ -87,6 +87,7 @@ def _params_err(a, b):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_strategy_pp_one_liner():
     """strategy='pp' alone (no shard_rules) shards the stacked blocks over
     the pp axis and matches the single-device trajectory."""
@@ -226,6 +227,7 @@ _COMPOSED_RULES = (
 )
 
 
+@pytest.mark.slow
 def test_three_axis_dp_tp_pp_composition():
     """dp(2) x mdl(2) x pp(2): batch data-parallel, attention heads + MLP
     tensor-parallel, encoder stages pipeline-parallel — all in one mesh,

@@ -10,6 +10,7 @@ update's HLO contains all-reduces whose replica groups span the dcn axis.
 8-virtual-device CPU mesh (conftest.py) standing in for 2 slices x 4 chips.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def test_dcn_batch_sharding_spans_both_axes():
     assert x.sharding.shard_shape(x.shape)[0] == 2
 
 
+@pytest.mark.slow
 def test_dcn_bilevel_parity_and_hierarchical_collectives():
     eng_dcn = _run("dp", (("dcn", 2), ("dp", 4)))
     eng_ref = _run("default", None)

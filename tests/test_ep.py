@@ -3,6 +3,7 @@
 
 Runs on the 8-virtual-device CPU mesh (conftest.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def _setup(seed=0):
     return params, x
 
 
+@pytest.mark.slow
 def test_moe_routing_and_capacity():
     params, x = _setup()
     y_full, aux = moe_ffn(params, x, capacity=T)  # no drops

@@ -37,6 +37,7 @@ def test_logistic_regression_hpo():
     assert float(loss) < 0.7  # clearly learning after 2 meta-steps
 
 
+@pytest.mark.slow
 def test_learning_to_reweight_real_data_path(tmp_path):
     """--data-dir npz ingestion + imbalance + label noise + augmentation +
     validation()/best-checkpoint (VERDICT r1 missing #3: the reference
@@ -72,6 +73,7 @@ def test_learning_to_reweight_real_data_path(tmp_path):
     assert np.bincount(meta_y, minlength=10).tolist() == [10] * 10
 
 
+@pytest.mark.slow
 def test_bert_reweighting_real_data_path(tmp_path):
     """SST-2 TSV ingestion (hashed no-download tokenizer), imbalance split,
     validation() dev accuracy + best checkpoint."""
@@ -120,6 +122,7 @@ def test_learning_to_reweight():
     assert engine.reweight.count == 3
 
 
+@pytest.mark.slow
 def test_nas_darts_search():
     mod = load("neural_architecture_search")
     args = type("A", (), dict(
@@ -185,6 +188,7 @@ def test_bert_sama_reweighting_bf16():
     assert np.all(np.isfinite(w))
 
 
+@pytest.mark.slow
 def test_nas_eval_phase(tmp_path):
     """Evaluation phase of the NAS pipeline (reference model.py + train.py):
     search writes a genotype JSON, train.py retrains it as a discrete
@@ -224,6 +228,7 @@ def test_nas_eval_phase(tmp_path):
     assert 0.0 <= stats["test_acc"] <= 100.0
 
 
+@pytest.mark.slow
 def test_bert_reweighting_with_hf_roberta(tmp_path):
     """The reference fine-tunes an actual HuggingFace roberta
     (examples/bert_data_reweighting/model.py); from_hf_flax adapts any

@@ -2,6 +2,7 @@
 SANAS (PGD stage inside jit, multi-path hypergrads), ImageNet pruning (EMA
 teacher in param_callback), install check, and the RL buffer."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -141,6 +142,7 @@ def test_robust_nas():
     assert engine.classifier.count == 2 and engine.arch.count == 2
 
 
+@pytest.mark.slow
 def test_iuc_three_level():
     """The IUC 3-level program with a REAL seq2seq captioner: teacher
     forcing, in-jit greedy pseudo-captioning, architecture-mixed encoder
@@ -182,6 +184,7 @@ def test_iuc_three_level():
     assert 0.0 <= stats["caption_exact"] <= 100.0
 
 
+@pytest.mark.slow
 def test_tutorial_model_parallelism_runs():
     """Tutorial 7 (tp/pp/ep/sp) executes end-to-end on the virtual mesh."""
     import subprocess
@@ -283,6 +286,7 @@ def test_robust_nas_power_iteration_curvature():
     assert abs(g - lam_true) / lam_true < 0.02, (g, lam_true)
 
 
+@pytest.mark.slow
 def test_wallclock_cifar_npz_hook(tmp_path):
     """The bench's BETTY_CIFAR_NPZ real-data path (bench.py
     _bench_wallclock_cifar) runs end-to-end on a generated npz: ResNet-32

@@ -137,6 +137,7 @@ def test_rectangular_and_blocks():
     assert _max_err(out, ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_model_level_flash_parity():
     """TransformerClassifier(use_flash=True) == use_flash=False given the
     SAME weights (FlashSelfAttention mimics nn.MultiHeadDotProductAttention's

@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns 2/4-process CPU clusters; ~2.5 min
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 

@@ -9,6 +9,7 @@ sequential run step-for-step while keeping stage parameters sharded.
 
 Runs on the 8-virtual-device CPU mesh (conftest.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +119,7 @@ def _run_engine(mesh, iters=3):
     return eng
 
 
+@pytest.mark.slow
 def test_bilevel_engine_with_pipelined_classifier():
     mesh = make_mesh((("dp", 2), ("pp", 4)))
     eng_pp = _run_engine(mesh)

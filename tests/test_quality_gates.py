@@ -20,6 +20,7 @@ the remaining families (SANAS, bert/SAMA, IUC, robust_nas) live in
 test_quality_gates2.py.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,8 @@ from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim
 from betty_tpu.data import ArrayLoader
 from betty_tpu.models import MLP, MetaWeightNet
 from betty_tpu.module import from_flax, from_fn
+
+pytestmark = pytest.mark.slow  # multi-minute training-quality gates
 
 DIM = 32
 

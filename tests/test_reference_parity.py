@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # executes the torch reference in-process; ~2.5 min
+
 
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/betty"),

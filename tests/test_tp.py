@@ -46,6 +46,7 @@ def _param_by_suffix(params, *suffix):
     raise KeyError(suffix)
 
 
+@pytest.mark.slow
 def test_tp_megatron_sharding_layout():
     mod = _load_bert("bert_tp_layout")
     args = mod.parse_args(BASE_ARGS + [
@@ -157,6 +158,7 @@ def test_tp_user_shard_rules_override():
     assert sh["tiny"].spec == P()
 
 
+@pytest.mark.slow
 def test_tp_composes_with_compiled_blocks():
     """TP sharding must survive compiled-block execution: block-mode and
     driver-mode runs on the same dp x mdl mesh agree, and the parameters
