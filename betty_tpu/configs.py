@@ -77,6 +77,16 @@ class Config:
     cg_iterations: int = 1
     cg_alpha: float = 1.0
 
+    # reinforce (score-function / ES hypergradient; the reference registers
+    # this solver but left it an unfinished stub — these knobs are
+    # betty_tpu's). eps for the w-perturbation reuses the darts rule
+    # (reinforce_alpha / ||v||); sigma is the Gaussian smoothing scale of
+    # the zeroth-order gradient estimate in prev's params; samples is the
+    # number of antithetic direction pairs (4 loss evals each).
+    reinforce_alpha: float = 0.01
+    reinforce_sigma: float = 0.01
+    reinforce_samples: int = 4
+
     # --- TPU-native extension: run CG/Neumann vector algebra through fused
     # Pallas kernels over the flattened parameter vector (betty_tpu/ops).
     use_fused_vector_ops: bool = False

@@ -11,6 +11,63 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class _HeadProj(nn.Module):
+    """q/k/v projection emitting (B, H, L, Dh) directly.
+
+    Parameter names/shapes/inits are identical to flax's
+    ``nn.DenseGeneral(features=(H, Dh), axis=-1)`` — kernel (d, H, Dh),
+    bias (H, Dh) — so weights transplant with the einsum-attention path.
+    Emitting the kernel's (B, H, L, Dh) layout from the projection einsum
+    itself (instead of DenseGeneral + ``swapaxes``) lets XLA fold the
+    relayout into the matmul epilogue rather than materializing a
+    (B, L, H, Dh) intermediate and copying it — the r4/r5 in-context flash
+    study measured those boundary copies as the kernel's binding cost.
+    """
+
+    heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, d) -> (B, H, L, Dh)
+        d = x.shape[-1]
+        # init on the flattened (d, H*Dh) shape, like DenseGeneral does,
+        # so fan-in/fan-out match the einsum-attention path exactly
+        kernel = self.param(
+            "kernel",
+            lambda key, shape, dtype: nn.initializers.lecun_normal()(
+                key, (d, self.heads * self.head_dim), dtype
+            ).reshape(shape),
+            (d, self.heads, self.head_dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.heads, self.head_dim), jnp.float32)
+        y = jnp.einsum("bld,dhk->bhlk", x, kernel.astype(x.dtype))
+        return y + bias.astype(x.dtype)[None, :, None, :]
+
+
+class _OutProj(nn.Module):
+    """Output projection consuming (B, H, L, Dh) natively -> (B, L, d).
+
+    Parameter shapes match ``nn.DenseGeneral(features=d, axis=(-2, -1))``
+    on a (B, L, H, Dh) input — kernel (H, Dh, d), bias (d,).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, o):  # (B, H, L, Dh) -> (B, L, d)
+        h, dh = o.shape[1], o.shape[-1]
+        kernel = self.param(
+            "kernel",
+            lambda key, shape, dtype: nn.initializers.lecun_normal()(
+                key, (h * dh, self.features), dtype
+            ).reshape(shape),
+            (h, dh, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jnp.einsum("bhlk,hkd->bld", o, kernel.astype(o.dtype))
+        return y + bias.astype(o.dtype)
+
+
 class FlashSelfAttention(nn.Module):
     """Self-attention through the blockwise Pallas kernel
     (betty_tpu/ops/flash_attention.py). Parameter structure and shapes are
@@ -40,19 +97,14 @@ class FlashSelfAttention(nn.Module):
         from betty_tpu.ops.flash_attention import flash_attention
 
         head_dim = self.qkv_features // self.num_heads
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            features=(self.num_heads, head_dim), name=name,
-            axis=-1, dtype=x.dtype,
-        )
-        q = dense("query")(x)  # (B, L, H, D)
-        k = dense("key")(x)
-        v = dense("value")(x)
-        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))  # (B,H,L,D)
+        proj = lambda name: _HeadProj(  # noqa: E731
+            heads=self.num_heads, head_dim=head_dim, name=name)
+        q = proj("query")(x)  # (B, H, L, D) — kernel-native layout
+        k = proj("key")(x)
+        v = proj("value")(x)
         o = flash_attention(q, k, v, kv_mask, causal=self.causal,
                             block_q=self.block_q, block_kv=self.block_kv)
-        o = jnp.swapaxes(o, 1, 2)  # (B, L, H, D)
-        return nn.DenseGeneral(features=x.shape[-1], axis=(-2, -1),
-                               name="out", dtype=x.dtype)(o)
+        return _OutProj(features=x.shape[-1], name="out")(o)
 
 
 class EncoderBlock(nn.Module):

@@ -202,7 +202,6 @@ def test_param_groups_hook_through_engine():
     fc = np.asarray(eng.states["inner"]["params"]["fc"])
     assert np.max(np.abs(feat)) > 0, "lr=0.1 group did not train"
     assert np.array_equal(fc, np.ones(2)), "lr=0 group moved"
-    return feat
 
 
 def test_param_groups_compiled_blocks_match_driver():
