@@ -138,3 +138,29 @@ def test_reinforce_optimizes_bilevel_fixture():
     engine, outer, inner = make_engine(cfg, EngineConfig(train_iters=2000))
     engine.run()
     assert final_outer_loss(engine, outer) < 0.48  # reference regression bar
+
+
+def test_reinforce_compiled_blocks_match_driver():
+    """The solver's lax.scan + fold_in sampling must trace inside compiled
+    blocks and reproduce driver mode exactly (same keys, same math)."""
+    from betty_tpu import EngineConfig
+
+    def run(compile_blocks):
+        cfg = Config(
+            type="reinforce", unroll_steps=10,
+            reinforce_samples=8, reinforce_sigma=0.01,
+        )
+        engine, outer, inner = make_engine(
+            cfg, EngineConfig(train_iters=50, compile_blocks=compile_blocks)
+        )
+        engine.run()
+        return np.asarray(engine.states["outer"]["params"]["w"])
+
+    w_driver = run(False)
+    w_block = run(True)
+    # looser than test_compile's 1e-6: the score-function coefficient
+    # divides O(1e-6) loss differences by sigma*eps, so XLA's scanned-vs-
+    # unrolled fp32 reassociation noise is amplified ~1e3x. Different
+    # sample KEYS would diverge at O(1e-1) (a fresh noise realization);
+    # 1e-3 still pins both modes to the same directions and math.
+    assert np.max(np.abs(w_driver - w_block)) < 1e-3
