@@ -46,6 +46,21 @@ blanket remat — the config that actually fits at seq 512):
 * flash + saved residuals     1.691                  (0.67x)
 * flash + ``minimal`` remat   1.683                  (0.67x)
 
+r5 follow-up: emitting the kernel's (B,H,L,D) layout straight from the
+q/k/v projection einsums (models/transformer.py ``_HeadProj``/``_OutProj``
+— no swapaxes at the kernel boundary) recovered part of the loss: same
+ABA chip measurement 1.812 vs plain 2.45 median = **0.74x** (plain drift
+3%). The residual ~26% is the fusion/scheduling barrier itself, and a
+time-share bound says no attention kernel can pay it back at S512: the
+score/value matmuls are S/(6d) of encoder FLOPs — 8.3% at S512/d1024, a
+~14% *time* share at XLA's measured 27%-MXU attention vs ~52%-MFU dense —
+so even a FREE attention op caps the in-context win at ~1.07x. The
+boundary would have to cost under ~7% of step time to break even; it
+measures ~26%. At S1024 the attention time share grows to ~24% (ceiling
+~1.14x) and plain additionally pays the quadratic (B,H,S,S) score
+materialization in HBM — the one regime where the kernel can win in
+context; that measurement gates on a quiet chip (bench's s1024 probe).
+
 The two flash variants tie, so the binding cost is NOT the forward-kernel
 replay or the residual round-trips — it is the custom-call boundary
 itself: materialized (B,L,H,D)<->(B,H,L,D) layout copies around every

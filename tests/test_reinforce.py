@@ -10,7 +10,6 @@ reinforce recovers the smoothed slope; (3) it runs end-to-end through the
 Engine and optimizes the standard bilevel fixture.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
