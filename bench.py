@@ -972,8 +972,11 @@ def bench_imagenet_pruning(batch=64, image=256, crop=224, timed=6):
                 rates.append(K / (time.perf_counter() - t0))
         except Exception as block_err:
             # driver mode (device-resident data still avoids the per-step
-            # bulk transfer); the block failure is recorded
+            # bulk transfer); the block failure is recorded. Reset the
+            # timer: compile_s must measure the DRIVER first step, not the
+            # seconds the failed block attempt burned before raising.
             mode = f"driver (block path failed: {type(block_err).__name__})"
+            t0 = time.perf_counter()
             engine.train_step()
             _sync(engine)
             compile_s = time.perf_counter() - t0
@@ -1157,12 +1160,25 @@ def main():
             # distinguishes a real regression (reproduces) from transient
             # chip contention (recovers); both numbers are recorded
             res2 = _section(bench_solver, solver)
-            if not isinstance(res2, dict) and res2[0] > med:
+            if isinstance(res2, dict):
+                # rerun itself errored: keep the first measurement, but
+                # record that a rerun was attempted and how it failed
+                rerun_note = {"first_median": round(med, 3),
+                              "prev_round_median": prev_med,
+                              "rerun_error": res2.get("error", "unknown")}
+            elif res2[0] > med:
                 med2, peak2, flops2, hbm2 = res2
                 rerun_note = {"first_median": round(med, 3),
-                              "prev_round_median": prev_med}
+                              "prev_round_median": prev_med,
+                              "verdict": "recovered (contention)"}
                 med, peak = med2, max(peak, peak2)
                 flops, hbm_static = flops2 or flops, hbm2 or hbm_static
+            else:
+                # the slowdown reproduced: a real regression — record the
+                # confirming second number alongside the kept first
+                rerun_note = {"rerun_median": round(res2[0], 3),
+                              "prev_round_median": prev_med,
+                              "verdict": "reproduced (real regression)"}
         row = {"median": round(med, 3), "peak": round(peak, 3)}
         if prev_med:
             row["delta_vs_prev_pct"] = round(100 * (med / prev_med - 1), 1)

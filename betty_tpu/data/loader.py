@@ -40,7 +40,14 @@ class ArrayLoader:
             # slicing happens as device gathers. The fast path on proxied /
             # tunneled TPU runtimes where recurring host->device transfers
             # are expensive (and a good pattern for any dataset that fits).
-            arrays = tuple(jax.device_put(np.asarray(a)) for a in arrays)
+            # Arrays that are ALREADY on device (e.g. generated there) must
+            # not round-trip through np.asarray — on the ~MB/s tunneled
+            # runtime that download would cost minutes for a GB dataset.
+            arrays = tuple(
+                a if isinstance(a, jax.Array)
+                else jax.device_put(np.asarray(a))
+                for a in arrays
+            )
         self.arrays = arrays
         self.device = device
         self.n = n

@@ -443,12 +443,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _largest_divisor_block(seq, cap):
+    """Largest divisor of ``seq`` that is <= cap (>=1 always exists)."""
+    for b in range(min(cap, seq), 0, -1):
+        if seq % b == 0:
+            return b
+    return 1
+
+
 def _clamp_blocks(Sq, Skv, block_q, block_kv):
     """Multi-tile fallback blocks when the requested single tile does not
-    fit VMEM even at one head: cap at 512 (the measured-best multi-tile
+    fit VMEM even at one head: cap near 512 (the measured-best multi-tile
     size, module docstring) — a (512, 512) f32 score tile is always
-    feasible where the requested single tile was not."""
-    return min(block_q, 512), min(block_kv, 512)
+    feasible where the requested single tile was not. The cap must stay a
+    divisor of the sequence (``_blocks`` rejects non-divisible blocks), so
+    non-power-of-two sequences fall to their largest divisor <= 512, e.g.
+    Sq=896 -> 448."""
+    return (_largest_divisor_block(Sq, min(block_q, 512)),
+            _largest_divisor_block(Skv, min(block_kv, 512)))
 
 
 def _fwd(q, k, v, kv_mask, *, causal, sm_scale, block_q, block_kv,

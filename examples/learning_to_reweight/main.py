@@ -285,6 +285,10 @@ def export_sample_weights(engine, path, batch=512):
     x, y, idx = engine.train_set
     weights = []
     clf, rw = engine.classifier, engine.reweight
+    # eval mode: BatchNorm must use running statistics, or each example's
+    # exported weight would depend on its co-batch (and on `batch`) and
+    # disagree with the eval-mode forward used by validation
+    engine.eval()
     for i in range(0, len(x) - batch + 1, batch):
         xb = jnp.asarray(x[i:i + batch])
         yb = jnp.asarray(y[i:i + batch])
@@ -296,6 +300,7 @@ def export_sample_weights(engine, path, batch=512):
         yb = jnp.asarray(y[-tail:])
         ce = optax.softmax_cross_entropy_with_integer_labels(clf(xb), yb)
         weights.append(np.asarray(rw(ce)).reshape(-1))
+    engine.train()
     np.savez(path, weights=np.concatenate(weights),
              indexes=np.asarray(idx), labels=np.asarray(y))
 

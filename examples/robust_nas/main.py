@@ -16,7 +16,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem, optim

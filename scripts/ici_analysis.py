@@ -33,7 +33,6 @@ collective set on the same (toy-scale) programs.
 import argparse
 import importlib.util
 import json
-import math
 import re
 import sys
 from pathlib import Path
@@ -55,7 +54,7 @@ _DTYPE_BYTES = {
 _COLLECTIVE_RE = re.compile(
     r"=\s*(?:\([^)]*\)|(\w+)\[([\d,]*)\][^ ]*)\s*"
     r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(")
+    r"(-start)?\(")
 _TUPLE_ELT_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
@@ -80,10 +79,17 @@ def collective_bytes(hlo_text, n=N_DEV):
         if m.group(1) is not None:
             size = _shape_bytes(m.group(1), m.group(2))
         else:
-            # tuple-shaped result (variadic collective): sum the elements
             paren = line.split("= (", 1)[1].split(") ", 1)[0]
-            size = sum(_shape_bytes(d, s)
-                       for d, s in _TUPLE_ELT_RE.findall(paren))
+            elts = [(d, s) for d, s in _TUPLE_ELT_RE.findall(paren)
+                    if s]  # drop scalar context tokens (u32[] etc.)
+            if m.group(4):
+                # async `-start` form: the tuple is (operands..., results...)
+                # — the aliased operands must NOT be counted as payload
+                # (all-reduce-start would double, all-gather-start would
+                # count input+output). Take the result half.
+                elts = elts[len(elts) // 2:]
+            # remaining tuple (variadic collective): sum the elements
+            size = sum(_shape_bytes(d, s) for d, s in elts)
         if op == "all-gather":
             wire = size * (n - 1) / n          # size = gathered output
         elif op == "reduce-scatter":

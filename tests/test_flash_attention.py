@@ -460,3 +460,34 @@ def test_single_tile_infeasible_falls_back_to_multi_tile():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(g, g_ref, "qkv"):
         assert _max_err(a, b) < 1e-4, f"d{name}"
+
+
+def test_clamp_blocks_non_power_of_two_sequence():
+    """r5 review: the multi-tile fallback used a hard 512 clamp, which
+    crashes (`_blocks` divisibility check) for sequences not divisible by
+    512 — e.g. S=896 at explicit block 896, where the forward fits the
+    single tile but the backward does not. The clamp must fall to the
+    largest divisor of S."""
+    from betty_tpu.ops.flash_attention import _clamp_blocks
+
+    assert _clamp_blocks(896, 896, 896, 896) == (448, 448)
+    assert _clamp_blocks(1024, 1024, 1024, 1024) == (512, 512)
+    assert _clamp_blocks(640, 640, 1024, 1024) == (320, 320)
+
+    B, H, S, D = 1, 2, 896, 64
+    q = _rand((B, H, S, D), jnp.float32, 30)
+    k = _rand((B, H, S, D), jnp.float32, 31)
+    v = _rand((B, H, S, D), jnp.float32, 32)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, block_q=896, block_kv=896)
+        return jnp.sum(o)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, g_ref, "qkv"):
+        assert _max_err(a, b) < 1e-4, f"d{name}"

@@ -60,3 +60,21 @@ def test_ring_cost_model():
     assert out["all-gather"]["wire_bytes"] == ag_out * 7 / 8
     assert out["all-reduce"]["wire_bytes"] == 2 * 1024 * 4 * 7 / 8
     assert out["reduce-scatter"]["wire_bytes"] == 128 * 4 * 7
+
+
+def test_ring_cost_model_async_start_forms():
+    """Async `-start` collectives carry (operands..., results...) tuples;
+    only the result payload rides the wire — the aliased operand half must
+    not be double-counted (all-reduce-start) or added to the output
+    (all-gather-start)."""
+    ici = _load_ici()
+    hlo = "\n".join([
+        "  %ars = (f32[1024], f32[1024]) all-reduce-start(f32[1024] %g),"
+        " to_apply=%sum",
+        "  %ags = (bf16[1,128,256], bf16[8,128,256]) all-gather-start("
+        "bf16[1,128,256] %p), dims={0}",
+    ])
+    out = ici.collective_bytes(hlo, n=8)
+    assert out["all-reduce"]["wire_bytes"] == 2 * 1024 * 4 * 7 / 8
+    ag_out = 8 * 128 * 256 * 2
+    assert out["all-gather"]["wire_bytes"] == ag_out * 7 / 8
