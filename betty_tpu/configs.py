@@ -53,6 +53,13 @@ class Config:
     # the end-to-end cost is small. Set to "bf16" to force reduced precision
     # everywhere (measured error: tests/test_bf16.py).
     solver_precision: str = "fp32"
+    # There is deliberately NO grad_reduce_dtype knob: under
+    # ``precision="bf16"`` the TPU backend already sinks the SPMD gradient
+    # all-reduce below the narrowing convert, so multi-chip gradient
+    # reductions ride the ICI wire in bf16 automatically (verified on the
+    # v5e:2x4-topology-compiled north-star programs — a bf16-cast
+    # differentiation point was prototyped and changed nothing;
+    # scripts/ici_analysis.py --target tpu, BASELINE.md).
 
     # warm-up
     warmup_steps: int = 0

@@ -637,6 +637,14 @@ class Problem(abc.ABC):
             # an ITD replay would shadow the child-params substitution
             and not (set(path_children) & itd_names)
         )
+        # NOTE on gradient-reduction precision (multi-chip dp/zero/fsdp):
+        # no in-framework cast is needed — the TPU backend already sinks
+        # the SPMD gradient all-reduce below the narrowing convert when the
+        # forward computes in bf16, so under precision="bf16" gradient
+        # reductions ride the ICI wire in bf16 automatically (verified on
+        # the v5e:2x4-topology-compiled north-star programs; a bf16-cast
+        # differentiation point was prototyped and measured to change
+        # nothing — scripts/ici_analysis.py --target tpu, BASELINE.md).
 
         def update(states, batch, path_batches, itd_data, rng):
             ctx = {

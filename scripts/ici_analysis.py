@@ -51,10 +51,9 @@ _DTYPE_BYTES = {
     "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
 }
 
-_COLLECTIVE_RE = re.compile(
-    r"=\s*(?:\([^)]*\)|(\w+)\[([\d,]*)\][^ ]*)\s*"
-    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-    r"(-start)?\(")
+_OP_RE = re.compile(
+    r"\b(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
+    r"(-start|-done)?\(")
 _TUPLE_ELT_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
@@ -67,22 +66,31 @@ def _shape_bytes(dtype, dims):
 
 
 def collective_bytes(hlo_text, n=N_DEV):
-    """{op: {'count': k, 'wire_bytes': per-device ring bytes}} over every
-    collective instruction in the optimized HLO (``-start`` async forms
-    counted once; ``-done`` has no shape payload of its own)."""
+    """{op: {'count': k, 'wire_bytes': per-device ring bytes, 'by_dtype':
+    {dtype: bytes}}} over every collective instruction in the optimized HLO
+    (``-start`` async forms counted once; ``-done`` has no shape payload of
+    its own)."""
     out = {}
     for line in hlo_text.splitlines():
-        m = _COLLECTIVE_RE.search(line)
-        if not m:
+        m = _OP_RE.search(line)
+        if not m or m.group(2) == "-done":
+            # `-done` carries no payload of its own; operand references
+            # (%all-reduce.43) are not followed by "(" and never match
             continue
-        op = m.group(3)
-        if m.group(1) is not None:
-            size = _shape_bytes(m.group(1), m.group(2))
-        else:
-            paren = line.split("= (", 1)[1].split(") ", 1)[0]
-            elts = [(d, s) for d, s in _TUPLE_ELT_RE.findall(paren)
+        op, suffix = m.group(1), m.group(2) or ""
+        # the instruction's result type is the span between "= " and the op
+        # token. NOTE: it cannot be parsed with [^)]*-style regexes — TPU
+        # HLO layouts contain parentheses (bf16[128]{0:T(256)(128)(2,1)S(1)})
+        # which silently truncated the TPU backend's COMBINED variadic
+        # gradient all-reduces to their last element.
+        parts = line.split("= ", 1)
+        if len(parts) < 2:
+            continue
+        result = parts[1][: parts[1].rfind(op + suffix + "(")]
+        if result.lstrip().startswith("("):
+            elts = [(d, s) for d, s in _TUPLE_ELT_RE.findall(result)
                     if s]  # drop scalar context tokens (u32[] etc.)
-            if m.group(4):
+            if suffix == "-start":
                 # async `-start` form: the tuple is (operands..., results...)
                 # — the aliased operands must NOT be counted as payload
                 # (all-reduce-start would double, all-gather-start would
@@ -90,6 +98,13 @@ def collective_bytes(hlo_text, n=N_DEV):
                 elts = elts[len(elts) // 2:]
             # remaining tuple (variadic collective): sum the elements
             size = sum(_shape_bytes(d, s) for d, s in elts)
+            dtype = elts[0][0] if elts else "?"
+        else:
+            one = _TUPLE_ELT_RE.search(result)
+            if not one:
+                continue  # token-only result (e.g. control dependency)
+            dtype = one.group(1)
+            size = _shape_bytes(one.group(1), one.group(2))
         if op == "all-gather":
             wire = size * (n - 1) / n          # size = gathered output
         elif op == "reduce-scatter":
@@ -100,14 +115,66 @@ def collective_bytes(hlo_text, n=N_DEV):
             wire = size * (n - 1) / n
         else:                                  # collective-permute
             wire = size
-        rec = out.setdefault(op, {"count": 0, "wire_bytes": 0.0})
+        rec = out.setdefault(op, {"count": 0, "wire_bytes": 0.0,
+                                  "by_dtype": {}})
         rec["count"] += 1
         rec["wire_bytes"] += wire
+        rec["by_dtype"][dtype] = rec["by_dtype"].get(dtype, 0.0) + wire
     return out
 
 
-def compile_program(mod, args_list, problem):
-    """Optimized HLO text of one problem's per-step update program."""
+def tpu_topology_available(topology_name="v5e:2x4"):
+    try:
+        from jax.experimental import topologies
+
+        topologies.get_topology_desc(platform="tpu",
+                                     topology_name=topology_name)
+        return True
+    except Exception:
+        return False
+
+
+def _retarget(engine, tree, topology_name):
+    """Map every array leaf to a ShapeDtypeStruct whose NamedSharding lives
+    on a REAL TPU topology mesh (compile-only PJRT client) with the same
+    axis names/shape as the engine's CPU mesh. The update program can then
+    be AOT-compiled by the actual TPU backend — whose optimization pipeline
+    differs from the CPU partitioner in ways that change the wire numbers
+    materially: reduce-scatter creation (halves all-reduce bytes under
+    fsdp) and all-reduce sinking below narrowing converts (bf16-forward
+    gradients are reduced in bf16, halving dp gradient wire)."""
+    import jax
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=topology_name)
+    cpu_mesh = engine.mesh
+    devs = np.array(topo.devices).reshape(cpu_mesh.devices.shape)
+    tmesh = Mesh(devs, cpu_mesh.axis_names)
+
+    def to_sds(x):
+        if not hasattr(x, "shape") or not hasattr(x, "dtype"):
+            return x
+        sh = getattr(x, "sharding", None)
+        spec = sh.spec if isinstance(sh, NamedSharding) else PartitionSpec()
+        return jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(tmesh, spec))
+
+    return jax.tree_util.tree_map(to_sds, tree)
+
+
+def compile_program(mod, args_list, problem, target="cpu",
+                    topology_name="v5e:2x4"):
+    """Optimized HLO text of one problem's per-step update program.
+
+    ``target="cpu"``: partitioned + optimized by the ambient (CPU) backend —
+    the 8-virtual-device environment the engine runs in.
+    ``target="tpu"``: the engine still builds on CPU, but the update is
+    AOT-compiled against a v5e 2x4 compile-only topology, yielding the
+    exact collective set 8 real chips would execute.
+    """
     import jax
 
     args = mod.parse_args(args_list)
@@ -124,14 +191,17 @@ def compile_program(mod, args_list, problem):
             hop._count = 1
             path_batches[hop.name] = hop.get_batch()
     upd = prob._get_update_fn(apply_update=True, advance_sched=True)
-    lowered = upd.lower(engine.states, batch, path_batches, {},
-                        jax.random.PRNGKey(0))
+    args5 = (engine.states, batch, path_batches, {}, jax.random.PRNGKey(0))
+    if target == "tpu":
+        args5 = _retarget(engine, args5, topology_name)
+    lowered = upd.lower(*args5)
     return lowered.compile().as_text()
 
 
-def northstar_args(strategy, small):
+def northstar_args(strategy, small, solver_precision="fp32"):
     a = ["--train_iters", "0", "--batch_size", "32", "--seq_len", "128",
          "--precision", "bf16", "--hypergradient", "sama",
+         "--solver_precision", solver_precision,
          "--unroll_steps", str(UNROLL), "--strategy", strategy]
     if small:
         a += ["--dim", "128", "--depth", "2", "--heads", "4",
@@ -147,7 +217,25 @@ def main(argv=None):
     p.add_argument("--strategy", default="fsdp", choices=["dp", "fsdp"])
     p.add_argument("--small", action="store_true",
                    help="toy dims (CI); default is the real 355M shape")
+    p.add_argument("--solver_precision", default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="hypergradient-pipeline precision (measured NOT to "
+                        "change reduction wire bytes — the collective "
+                        "dtype is set by the backend's convert sinking, "
+                        "see --target tpu)")
+    p.add_argument("--target", default="tpu", choices=["tpu", "cpu"],
+                   help="'tpu' (default): AOT-compile against a v5e:2x4 "
+                        "compile-only topology — the exact collective "
+                        "set/dtypes 8 real chips execute (reduce-scatter "
+                        "creation, bf16 all-reduce sinking). 'cpu': the "
+                        "ambient-backend partitioning (upper bound; what "
+                        "rounds <=5 shipped). Falls back to cpu with a "
+                        "note when no TPU compiler is available.")
     args = p.parse_args(argv)
+    if args.target == "tpu" and not tpu_topology_available():
+        print("# no TPU compile-only topology available; falling back to "
+              "--target cpu", file=sys.stderr)
+        args.target = "cpu"
 
     spec = importlib.util.spec_from_file_location(
         "bert_ici", ROOT / "examples" / "bert_data_reweighting" / "main.py")
@@ -155,14 +243,14 @@ def main(argv=None):
     sys.modules["bert_ici"] = mod
     spec.loader.exec_module(mod)
 
-    a = northstar_args(args.strategy, args.small)
-    print(f"# compiling classifier inner-step program ({args.strategy})...",
-          file=sys.stderr)
-    clf_hlo = compile_program(mod, a, "classifier")
+    a = northstar_args(args.strategy, args.small, args.solver_precision)
+    print(f"# compiling classifier inner-step program ({args.strategy}, "
+          f"target={args.target})...", file=sys.stderr)
+    clf_hlo = compile_program(mod, a, "classifier", target=args.target)
     clf = collective_bytes(clf_hlo)
     print("# compiling reweighter meta-step program (SAMA hypergrad)...",
           file=sys.stderr)
-    rw_hlo = compile_program(mod, a, "reweight")
+    rw_hlo = compile_program(mod, a, "reweight", target=args.target)
     rw = collective_bytes(rw_hlo)
 
     per_period = {}
@@ -170,7 +258,9 @@ def main(argv=None):
     for src, mult, name in ((clf, UNROLL, "classifier_step"),
                             (rw, 1, "reweight_meta_step")):
         rec = {op: {"count": v["count"],
-                    "wire_gib_per_device": round(v["wire_bytes"] / 2**30, 4)}
+                    "wire_gib_per_device": round(v["wire_bytes"] / 2**30, 4),
+                    "by_dtype_gib": {d: round(b / 2**30, 4)
+                                     for d, b in sorted(v["by_dtype"].items())}}
                for op, v in sorted(src.items())}
         per_period[name] = {"collectives": rec, "executions": mult}
         total_wire += mult * sum(v["wire_bytes"] for v in src.values())
@@ -181,6 +271,10 @@ def main(argv=None):
     scaling_overlap = t_comp / max(t_comp, t_ici)
     result = {
         "strategy": args.strategy,
+        "target_backend": {"tpu": "v5e:2x4 compile-only topology (real TPU "
+                                  "collective set)",
+                           "cpu": "CPU partitioner (upper bound)"}[args.target],
+        "solver_precision": args.solver_precision,
         "shape": "toy" if args.small else "355M (roberta-large scale)",
         "n_devices": N_DEV,
         "unroll_steps": UNROLL,

@@ -19,7 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run(use_flash, seq, batch, profile):
+def run(use_flash, seq, batch, profile, remat_policy="dots"):
     import bench
 
     if profile:
@@ -29,11 +29,11 @@ def run(use_flash, seq, batch, profile):
         with jax.profiler.trace(f"/tmp/flash_probe_trace_{tag}"):
             out = bench.bench_sama_roberta_large(
                 use_flash=use_flash, seq=seq, batch=batch, K=1,
-                timed_blocks=2, remat_policy="dots")
+                timed_blocks=2, remat_policy=remat_policy)
     else:
         out = bench.bench_sama_roberta_large(
             use_flash=use_flash, seq=seq, batch=batch, K=1, timed_blocks=3,
-            remat_policy="dots")
+            remat_policy=remat_policy)
     return out
 
 
@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--flash_only", action="store_true")
     ap.add_argument("--plain_only", action="store_true")
+    ap.add_argument("--remat_policy", default="dots",
+                    help="remat policy for the plain arm (flash at "
+                         "seq>=1024 always uses 'minimal': its saved-"
+                         "residual policies exceed 16GB there — see "
+                         "docs/memory.md)")
+    ap.add_argument("--flash_remat_policy", default=None,
+                    help="override the flash arm's policy (default: "
+                         "same as --remat_policy at seq<1024, 'minimal' "
+                         "at seq>=1024)")
     args = ap.parse_args()
 
     import bench
@@ -53,11 +62,15 @@ def main():
         print(json.dumps({"error": "chip unavailable"}))
         return
 
+    flash_policy = args.flash_remat_policy or (
+        "minimal" if args.seq >= 1024 else args.remat_policy)
     results = {}
     if not args.flash_only:
-        results["plain"] = run(False, args.seq, args.batch, args.profile)
+        results["plain"] = run(False, args.seq, args.batch, args.profile,
+                               args.remat_policy)
     if not args.plain_only:
-        results["flash"] = run(True, args.seq, args.batch, args.profile)
+        results["flash"] = run(True, args.seq, args.batch, args.profile,
+                               flash_policy)
     if "plain" in results and "flash" in results:
         p = results["plain"].get("meta_periods_per_sec_median")
         f = results["flash"].get("meta_periods_per_sec_median")

@@ -62,6 +62,60 @@ def test_ring_cost_model():
     assert out["reduce-scatter"]["wire_bytes"] == 128 * 4 * 7
 
 
+def test_ring_cost_model_tpu_layout_variadic():
+    """TPU-backend HLO regression: layout annotations contain parentheses
+    (bf16[128]{0:T(256)(128)(2,1)S(1)}) and the backend COMBINES gradient
+    reductions into variadic tuple all-reduces. The old [^)]*-based parser
+    truncated these to ~one element, silently dropping almost all gradient
+    wire bytes from the --target tpu analysis."""
+    ici = _load_ici()
+    hlo = (
+        "  %all-reduce.43 = (bf16[128]{0:T(256)(128)(2,1)S(1)}, "
+        "bf16[128,128]{1,0:T(8,128)(2,1)S(1)}, "
+        "bf16[2]{0:T(256)(128)(2,1)S(1)}) "
+        "all-reduce(%a, %b, %c), channel_id=3, replica_groups=[1,8]<=[8], "
+        "to_apply=%region"
+    )
+    out = ici.collective_bytes(hlo, n=8)
+    payload = (128 + 128 * 128 + 2) * 2  # bf16
+    assert out["all-reduce"]["count"] == 1
+    assert out["all-reduce"]["wire_bytes"] == 2 * payload * 7 / 8
+    assert set(out["all-reduce"]["by_dtype"]) == {"bf16"}
+    # operand references and -done forms carry no payload
+    out2 = ici.collective_bytes(
+        "  %gte = bf16[128]{0:T(256)(2,1)} get-tuple-element(%all-reduce.43),"
+        " index=0\n"
+        "  %d = bf16[128]{0:T(256)(2,1)} all-reduce-done(%all-reduce-start.1)",
+        n=8)
+    assert out2 == {}
+
+
+def test_tpu_topology_collectives_bf16():
+    """--target tpu: the toy dp program AOT-compiled against the v5e:2x4
+    compile-only topology must reduce gradients in bf16 (the TPU backend
+    sinks the all-reduce below the narrowing convert — this HALVES the dp
+    gradient wire vs the CPU partitioner's f32 and is why there is no
+    grad_reduce_dtype knob; see betty_tpu/configs.py)."""
+    import pytest
+
+    ici = _load_ici()
+    if not ici.tpu_topology_available():
+        pytest.skip("no TPU compile-only topology in this environment")
+    spec = importlib.util.spec_from_file_location(
+        "bert_ici_t2", ROOT / "examples" / "bert_data_reweighting" / "main.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bert_ici_t2"] = mod
+    spec.loader.exec_module(mod)
+
+    a = ici.northstar_args("dp", small=True)
+    clf = ici.collective_bytes(
+        ici.compile_program(mod, a, "classifier", target="tpu"))
+    assert "all-reduce" in clf, set(clf)
+    by = clf["all-reduce"]["by_dtype"]
+    # the gradient payload must be bf16; anything f32 should be scalar-level
+    assert by.get("bf16", 0) > 0.9 * clf["all-reduce"]["wire_bytes"], by
+
+
 def test_ring_cost_model_async_start_forms():
     """Async `-start` collectives carry (operands..., results...) tuples;
     only the result payload rides the wire — the aliased operand half must
