@@ -628,15 +628,18 @@ def bench_flash_attention(B=8, H=16, S=512, D=64):
         "fwd_bwd_speedup": round(speedup, 3),
         "max_err_vs_xla": float(f"{err:.2e}"),
         "verdict": "flash-wins" if speedup > 1.0 else "xla-wins-in-context",
-        # Measured offline (r4 study; ~12 min Mosaic compiles — too slow
-        # for the driver bench): inside the full 355M SAMA meta-program at
-        # B4/S512 (the config that fits at seq 512: blanket remat), plain
-        # runs 2.524 meta-periods/s vs flash 1.691 (residuals saved) /
-        # 1.683 (minimal remat) — 0.67x either way, so the binding cost is
-        # the kernel boundary (layout transposes + fusion barrier), not
-        # remat replay. Full study: docs/memory.md + flash_attention.py
-        # docstring. use_flash stays default-off on the models.
-        "in_context_northstar_B4_seq512_speedup_measured_offline": 0.67,
+        # Measured offline (r4 study, r5 refresh; ~12 min Mosaic compiles —
+        # too slow for the driver bench): inside the full 355M SAMA
+        # meta-program at B4/S512, r4 measured 0.67x regardless of remat
+        # treatment; the r5 layout-native q/k/v projections (_HeadProj/
+        # _OutProj delete the (B,L,H,D)<->(B,H,L,D) boundary copies)
+        # lifted it to 0.74x — plain 2.489/2.404 vs flash 1.812
+        # meta-periods/s — with the residual ~26% pinned to the
+        # custom-call fusion barrier itself (time-share bound: even a free
+        # attention op caps the win at ~1.07x at S512). Full study:
+        # docs/memory.md + flash_attention.py docstring. use_flash stays
+        # default-off on the models.
+        "in_context_northstar_B4_seq512_speedup_measured_offline": 0.74,
     }
 
 

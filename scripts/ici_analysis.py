@@ -195,7 +195,17 @@ def compile_program(mod, args_list, problem, target="cpu",
     if target == "tpu":
         args5 = _retarget(engine, args5, topology_name)
     lowered = upd.lower(*args5)
-    return lowered.compile().as_text()
+    compiled = lowered.compile()
+    hbm = None
+    if target == "tpu":
+        try:  # per-device HBM of the real 8-chip program (argument +
+            # output + temp; generated-code footprint of one shard)
+            ma = compiled.memory_analysis()
+            hbm = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                   + ma.temp_size_in_bytes)
+        except Exception:
+            pass
+    return compiled.as_text(), hbm
 
 
 def northstar_args(strategy, small, solver_precision="fp32"):
@@ -246,11 +256,12 @@ def main(argv=None):
     a = northstar_args(args.strategy, args.small, args.solver_precision)
     print(f"# compiling classifier inner-step program ({args.strategy}, "
           f"target={args.target})...", file=sys.stderr)
-    clf_hlo = compile_program(mod, a, "classifier", target=args.target)
+    clf_hlo, clf_hbm = compile_program(mod, a, "classifier",
+                                       target=args.target)
     clf = collective_bytes(clf_hlo)
     print("# compiling reweighter meta-step program (SAMA hypergrad)...",
           file=sys.stderr)
-    rw_hlo = compile_program(mod, a, "reweight", target=args.target)
+    rw_hlo, rw_hbm = compile_program(mod, a, "reweight", target=args.target)
     rw = collective_bytes(rw_hlo)
 
     per_period = {}
@@ -264,6 +275,10 @@ def main(argv=None):
                for op, v in sorted(src.items())}
         per_period[name] = {"collectives": rec, "executions": mult}
         total_wire += mult * sum(v["wire_bytes"] for v in src.values())
+    for name, hbm in (("classifier_step", clf_hbm),
+                      ("reweight_meta_step", rw_hbm)):
+        if hbm is not None:
+            per_period[name]["hbm_per_device_gib"] = round(hbm / 2**30, 3)
 
     t_ici = total_wire / V5E_RING_BW
     t_comp = MEASURED_SEC_PER_META_PERIOD

@@ -31,14 +31,14 @@ def test_fsdp_northstar_collective_set_and_bytes():
     spec.loader.exec_module(mod)
 
     a = ici.northstar_args("fsdp", small=True)
-    clf_hlo = ici.compile_program(mod, a, "classifier")
+    clf_hlo, _ = ici.compile_program(mod, a, "classifier")
     clf = ici.collective_bytes(clf_hlo)
     # FSDP inner step: parameter all-gathers + a gradient reduction
     assert "all-gather" in clf, f"no all-gather in fsdp step: {set(clf)}"
     assert ("all-reduce" in clf) or ("reduce-scatter" in clf), set(clf)
     assert clf["all-gather"]["wire_bytes"] > 0
 
-    rw_hlo = ici.compile_program(mod, a, "reweight")
+    rw_hlo, _ = ici.compile_program(mod, a, "reweight")
     rw = ici.collective_bytes(rw_hlo)
     # SAMA hypergradient step re-evaluates the classifier loss at
     # perturbed parameters: all-gathers again, plus the cross-replica
@@ -108,9 +108,10 @@ def test_tpu_topology_collectives_bf16():
     spec.loader.exec_module(mod)
 
     a = ici.northstar_args("dp", small=True)
-    clf = ici.collective_bytes(
-        ici.compile_program(mod, a, "classifier", target="tpu"))
+    clf_hlo, hbm = ici.compile_program(mod, a, "classifier", target="tpu")
+    clf = ici.collective_bytes(clf_hlo)
     assert "all-reduce" in clf, set(clf)
+    assert hbm is None or hbm > 0
     by = clf["all-reduce"]["by_dtype"]
     # the gradient payload must be bf16; anything f32 should be scalar-level
     assert by.get("bf16", 0) > 0.9 * clf["all-reduce"]["wire_bytes"], by
