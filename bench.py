@@ -636,10 +636,15 @@ def bench_flash_attention(B=8, H=16, S=512, D=64):
         # lifted it to 0.74x — plain 2.489/2.404 vs flash 1.812
         # meta-periods/s — with the residual ~26% pinned to the
         # custom-call fusion barrier itself (time-share bound: even a free
-        # attention op caps the win at ~1.07x at S512). Full study:
-        # docs/memory.md + flash_attention.py docstring. use_flash stays
-        # default-off on the models.
+        # attention op caps the win at ~1.07x at S512). At S1024 — the
+        # regime where plain pays quadratic score re-materialization and
+        # flash could structurally win — the late-r5 B2 measurement (both
+        # arms minimal remat, both fit at ~11 GiB static) reads plain
+        # 1.928 vs flash 1.280 meta-periods/s: the barrier still
+        # dominates. Full study: docs/memory.md + flash_attention.py
+        # docstring. use_flash stays default-off on the models.
         "in_context_northstar_B4_seq512_speedup_measured_offline": 0.74,
+        "in_context_northstar_B2_seq1024_speedup_measured_offline": 0.66,
     }
 
 

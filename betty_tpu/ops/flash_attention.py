@@ -58,8 +58,11 @@ so even a FREE attention op caps the in-context win at ~1.07x. The
 boundary would have to cost under ~7% of step time to break even; it
 measures ~26%. At S1024 the attention time share grows to ~24% (ceiling
 ~1.14x) and plain additionally pays the quadratic (B,H,S,S) score
-materialization in HBM — the one regime where the kernel can win in
-context; that measurement gates on a quiet chip (bench's s1024 probe).
+materialization in HBM — the one regime where the kernel could win in
+context. Measured (late r5, B2/S1024, both arms ``minimal`` remat, both
+fit at ~11 GiB static): plain 1.928 vs flash 1.280 meta-periods/s =
+**0.66x** — the barrier still dominates, so the verdict is settled at
+both sequence regimes and the kernel stays default-off.
 
 The two flash variants tie, so the binding cost is NOT the forward-kernel
 replay or the residual round-trips — it is the custom-call boundary
