@@ -144,9 +144,9 @@ def test_param_groups_vs_torch():
     assert_close(np.asarray(p["fc"]["w"]), pb.detach().numpy())
 
 
-def test_param_groups_hook_through_engine():
-    """The Problem.param_groups hook wires into the engine: different
-    leaves actually receive different learning rates."""
+def _run_param_groups_program(compile_blocks):
+    """Bilevel program whose inner problem uses the param_groups hook
+    (lr=0.1 on ^feat, frozen fc); returns (feat, fc) after 3 iters."""
     import optax
 
     from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem
@@ -193,13 +193,20 @@ def test_param_groups_hook_through_engine():
         train_data_loader=[(x, y)],
         config=Config(),
     )
-    eng = Engine(config=EngineConfig(train_iters=3),
+    eng = Engine(config=EngineConfig(train_iters=3,
+                                     compile_blocks=compile_blocks),
                  problems=[outer, inner],
                  dependencies={"u2l": {outer: [inner]},
                                "l2u": {inner: [outer]}})
     eng.run()
-    feat = np.asarray(eng.states["inner"]["params"]["feat"])
-    fc = np.asarray(eng.states["inner"]["params"]["fc"])
+    return (np.asarray(eng.states["inner"]["params"]["feat"]),
+            np.asarray(eng.states["inner"]["params"]["fc"]))
+
+
+def test_param_groups_hook_through_engine():
+    """The Problem.param_groups hook wires into the engine: different
+    leaves actually receive different learning rates."""
+    feat, fc = _run_param_groups_program(compile_blocks=False)
     assert np.max(np.abs(feat)) > 0, "lr=0.1 group did not train"
     assert np.array_equal(fc, np.ones(2)), "lr=0 group moved"
 
@@ -207,58 +214,7 @@ def test_param_groups_hook_through_engine():
 def test_param_groups_compiled_blocks_match_driver():
     """Grouped optimizers trace correctly inside compiled blocks and match
     driver mode."""
-    feat_driver = test_param_groups_hook_through_engine()
-    import optax
-
-    from betty_tpu import Config, Engine, EngineConfig, ImplicitProblem
-    from betty_tpu import optim as _optim
-    from betty_tpu.module import from_fn
-
-    class Outer(ImplicitProblem):
-        def training_step(self, batch):
-            x, y = batch
-            return optax.sigmoid_binary_cross_entropy(self.inner(x), y).mean()
-
-    class Inner(ImplicitProblem):
-        def training_step(self, batch):
-            x, y = batch
-            out = x @ self.params["feat"] + self.params["fc"].sum()
-            reg = self.outer()[0]
-            l2 = sum(jnp.sum(p * p) for p in
-                     jax.tree_util.tree_leaves(self.params))
-            return (optax.sigmoid_binary_cross_entropy(out, y).mean()
-                    + 0.5 * reg * l2)
-
-        def param_groups(self):
-            return [
-                {"select": r"^feat", "lr": 0.1},
-                {"select": None, "lr": 0.0},
-            ]
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(32, 4), jnp.float32)
-    y = jnp.asarray((rng.rand(32) > 0.5).astype(np.float32))
-    inner = Inner(
-        "inner",
-        module=from_fn(lambda p, i: i @ p["feat"] + p["fc"].sum(),
-                       {"feat": jnp.zeros(4), "fc": jnp.ones(2)}),
-        optimizer=_optim.sgd(lr=0.05),
-        train_data_loader=[(x, y)],
-        config=Config(type="darts"),
-    )
-    outer = Outer(
-        "outer",
-        module=from_fn(lambda p: p["w"], {"w": jnp.full((1,), 0.01)}),
-        optimizer=_optim.sgd(lr=0.01),
-        train_data_loader=[(x, y)],
-        config=Config(),
-    )
-    eng = Engine(config=EngineConfig(train_iters=3, compile_blocks=True),
-                 problems=[outer, inner],
-                 dependencies={"u2l": {outer: [inner]},
-                               "l2u": {inner: [outer]}})
-    eng.run()
-    feat_block = np.asarray(eng.states["inner"]["params"]["feat"])
-    assert np.array_equal(np.asarray(eng.states["inner"]["params"]["fc"]),
-                          np.ones(2))
+    feat_driver, _ = _run_param_groups_program(compile_blocks=False)
+    feat_block, fc_block = _run_param_groups_program(compile_blocks=True)
+    assert np.array_equal(fc_block, np.ones(2))
     assert np.max(np.abs(feat_block - feat_driver)) < 1e-6
