@@ -242,6 +242,19 @@ def main(argv=None):
                         "rounds <=5 shipped). Falls back to cpu with a "
                         "note when no TPU compiler is available.")
     args = p.parse_args(argv)
+    # betty_tpu honors JAX_PLATFORMS=cpu via the config API (the axon TPU
+    # plugin overrides the env var); import it BEFORE touching a backend.
+    import betty_tpu  # noqa: F401
+    import jax
+
+    n_topo = 8  # v5e:2x4
+    if jax.device_count() != n_topo:
+        sys.exit(
+            f"ambient backend has {jax.device_count()} device(s); the "
+            f"engine must build on an {n_topo}-device mesh to match the "
+            "v5e:2x4 topology. Run with:\n  JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_topo} "
+            "python scripts/ici_analysis.py ...")
     if args.target == "tpu" and not tpu_topology_available():
         print("# no TPU compile-only topology available; falling back to "
               "--target cpu", file=sys.stderr)
