@@ -764,12 +764,15 @@ def bench_sama_roberta_large(use_flash=False, K=2, timed_blocks=4,
         "use_flash_attention": bool(use_flash),
         "remat": bool(remat), "donate_state": True,
         "remat_policy": remat_policy if remat else None,
-        # measured ladder at this shape (chip, r3): blanket replay 1.372,
-        # dots 1.553, no-remat 1.586 meta-periods/s. "dots" is the default:
-        # within ~2% of no-remat while keeping activation HBM bounded
-        # (no-remat stops fitting at seq>=512 or larger batch).
+        # measured ladder at this shape: r3 under threefry RNG (blanket
+        # replay 1.372, dots 1.553, no-remat 1.586 meta-periods/s); re-run
+        # under the rbg default late r5: dots 2.039, no-remat 2.075
+        # (53.4% MFU) — the ~2% gap is RNG-independent. "dots" stays the
+        # default: within ~2% of no-remat while keeping activation HBM
+        # bounded (no-remat stops fitting at seq>=512 or larger batch).
         "remat_ladder_measured_meta_periods_per_sec": {
-            "full": 1.372, "dots": 1.553, "none": 1.586},
+            "full": 1.372, "dots": 1.553, "none": 1.586,
+            "dots_rbg": 2.039, "none_rbg": 2.075},
         # dropout-mask PRNG: threefry (JAX default) vs the TPU hardware
         # RngBitGenerator, both at B32/S128/dots remat (chip, r3)
         "rng_impl": rng_impl,
