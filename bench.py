@@ -1209,7 +1209,11 @@ def main():
             flops_per_step = flops
     darts_ok = "median" in solvers.get("darts", {})
     # bf16 inner steps + fp32 hypergradients (the default solver_precision
-    # policy): ~15% over fp32 on this workload
+    # policy). Early rounds measured ~15% over fp32 here; after the r2
+    # fast-path recovery the fp32 row caught up and the two now measure
+    # within noise of each other (r5: 278.1 vs 276.7 steps/s) — this tiny
+    # ResNet-32/B128 block is dispatch/HBM-bound, not MXU-bound, so the
+    # bf16 row is tracked as a regression canary rather than a speedup.
     res = _section(bench_solver, "darts", precision="bf16")
     if isinstance(res, dict):
         solvers["darts_bf16"] = res
